@@ -1,0 +1,246 @@
+"""Gemma-family forward pass: one jit-compiled function for prefill & decode.
+
+TPU-native re-design of the reference's sequential executor (reference
+model.cpp:706-1049). Differences that matter for the hardware:
+
+  - The KV cache is **preallocated** [max_seq, n_kv_heads, head_dim] f16
+    per layer with masked scatter writes, replacing the growing nested
+    vectors (reference model.cpp:461-474) — static shapes so XLA compiles
+    the step once.
+  - Attention is a batched masked softmax over the whole cache (one MXU
+    GEMM per projection and per QK/PV contraction) instead of a per-token
+    per-head scan (reference model.cpp:478-548). The online-softmax there
+    is numerically the same function; here XLA/Pallas handles blocking.
+  - Tokens are processed as a [T, ...] batch everywhere (true batched
+    prefill; the reference runs prefill token-by-token through GEMVs).
+
+Parity-critical rounding points reproduced exactly (SURVEY.md §7 hard
+part b): K/V stored through f16 (model.cpp:442-459), Q downcast to f16
+before the QK dot (model.cpp:504-509), per-format activation quantization
+inside every matmul (ops/linear.py), embedding scale sqrt(n_embd)
+(model.cpp:336-344), attention softcap + ALiBi order (model.cpp:511-518),
+final-token-only logits (model.cpp:983-1034).
+
+``n_valid`` (a traced scalar) supports bucketed prefill: tokens[t] for
+t >= n_valid are padding — their K/V writes are dropped and the logits are
+read at index n_valid-1, so a prompt padded to a bucket length produces
+bit-identical results to an unpadded run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..ops.linear import matmul, embed_rows
+from ..ops.numerics import f16_round, gelu_tanh, rms_norm, rope, softcap
+from .hparams import HParams
+from .weights import LayerWeights, ModelWeights
+
+KV_DTYPE = jnp.float16  # the reference stores K/V as IEEE f16 (model.cpp:442-459)
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["k", "v"], meta_fields=[])
+@dataclasses.dataclass
+class KVCache:
+    """Per-KV-layer preallocated caches, stacked pytree of
+    k[i]: [max_seq, n_head_kv, head_dim_k], v[i]: [max_seq, n_head_kv, head_dim_v]."""
+
+    k: tuple[Array, ...]
+    v: tuple[Array, ...]
+
+
+def init_cache(hp: HParams, max_seq: int, *, sharding=None) -> KVCache:
+    """Allocate zeroed caches for every layer that owns KV storage."""
+    ks, vs = [], []
+    for i in range(hp.n_kv_layers):
+        swa = hp.is_swa_layer(i)
+        dk = hp.n_embd_head_k_swa if swa else hp.n_embd_head_k
+        dv = hp.n_embd_head_v_swa if swa else hp.n_embd_head_v
+        k = jnp.zeros((max_seq, hp.n_head_kv, dk), dtype=KV_DTYPE)
+        v = jnp.zeros((max_seq, hp.n_head_kv, dv), dtype=KV_DTYPE)
+        if sharding is not None:
+            k, v = jax.device_put(k, sharding), jax.device_put(v, sharding)
+        ks.append(k)
+        vs.append(v)
+    return KVCache(k=tuple(ks), v=tuple(vs))
+
+
+def _alibi_slopes(n_head: int, max_bias: float) -> np.ndarray:
+    """Per-head ALiBi slopes (reference model.cpp:492-499)."""
+    n_head_log2 = 1 << int(math.floor(math.log2(n_head)))
+    m0 = 2.0 ** (-max_bias / n_head_log2)
+    m1 = 2.0 ** (-(max_bias / 2.0) / n_head_log2)
+    return np.array(
+        [
+            m0 ** (h + 1) if h < n_head_log2 else m1 ** (2 * (h - n_head_log2) + 1)
+            for h in range(n_head)
+        ],
+        dtype=np.float32,
+    )
+
+
+def _norm(x: Array, weight: Array, eps: float) -> Array:
+    """RMS norm + weight multiply (reference run_norm, model.cpp:361-386)."""
+    return rms_norm(x, eps) * weight.astype(jnp.float32)
+
+
+def _write_cache(cache: Array, new: Array, pos: Array, n_valid: Array) -> Array:
+    """Masked append: write new[t] at cache slot pos+t for t < n_valid;
+    padded rows scatter out-of-range and are dropped."""
+    T = new.shape[0]
+    slots = pos + jnp.arange(T, dtype=jnp.int32)
+    slots = jnp.where(jnp.arange(T) < n_valid, slots, cache.shape[0])
+    return cache.at[slots].set(new.astype(cache.dtype), mode="drop")
+
+
+def _attention(
+    q: Array,  # [T, H, Dk] f32, already scaled
+    k_cache: Array,  # [S, Hkv, Dk] f16
+    v_cache: Array,  # [S, Hkv, Dv] f16
+    *,
+    pos: Array,
+    hp: HParams,
+) -> Array:
+    """Masked-softmax attention over the full cache (reference run_attn,
+    model.cpp:478-548). Returns [T, H*Dv] f32."""
+    T, H, Dk = q.shape
+    S, Hkv, Dv = v_cache.shape
+    group = H // Hkv
+
+    # Parity: Q rounds through f16 before the QK dot (model.cpp:504-509).
+    qg = f16_round(q).reshape(T, Hkv, group, Dk)
+    k = k_cache.astype(jnp.float32)
+    scores = jnp.einsum("tkgd,skd->tkgs", qg, k, preferred_element_type=jnp.float32)
+
+    scores = softcap(scores, hp.attn_soft_cap)
+
+    q_pos = pos + jnp.arange(T, dtype=jnp.int32)  # [T]
+    key_pos = jnp.arange(S, dtype=jnp.int32)  # [S]
+    if hp.f_max_alibi_bias > 0.0:
+        slopes = jnp.asarray(_alibi_slopes(H, hp.f_max_alibi_bias)).reshape(Hkv, group)
+        bias = (key_pos[None, :] - q_pos[:, None]).astype(jnp.float32)  # [T, S]
+        scores = scores + slopes[None, :, :, None] * bias[:, None, None, :]
+
+    mask = key_pos[None, :] <= q_pos[:, None]  # causal over written slots [T, S]
+    scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / denom
+
+    v = v_cache.astype(jnp.float32)
+    out = jnp.einsum("tkgs,skd->tkgd", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(T, H * Dv)
+
+
+def _per_layer_inputs(hp: HParams, w: ModelWeights, tokens: Array, x: Array) -> Optional[Array]:
+    """gemma4 AltUp inputs: gather per-layer embeddings, project the hidden
+    state into them (reference model.cpp:568-704). Returns [T, L, P] or None."""
+    if w.token_embd_per_layer is None:
+        return None
+    L, P = hp.block_count, hp.embedding_length_per_layer
+    rows = embed_rows(w.token_embd_per_layer, tokens)  # [T, L*P]
+    inp = rows.reshape(-1, L, P) * jnp.float32(math.sqrt(P))
+    if w.per_layer_model_proj is None:
+        return inp
+    proj = matmul(w.per_layer_model_proj, x)  # [T, L*P]
+    proj = proj * jnp.float32(1.0 / math.sqrt(hp.embedding_length))
+    proj = proj.reshape(-1, L, P)
+    proj = rms_norm(proj, hp.rms_eps) * w.per_layer_proj_norm.astype(jnp.float32)
+    return (proj + inp) * jnp.float32(1.0 / math.sqrt(2.0))
+
+
+def forward(
+    hp: HParams,
+    w: ModelWeights,
+    cache: KVCache,
+    tokens: Array,  # [T] int32 (may include right-padding)
+    pos: Array,  # scalar int32: absolute position of tokens[0]
+    n_valid: Array | int | None = None,  # tokens beyond this are padding
+) -> tuple[Array, KVCache]:
+    """One forward step over T tokens. Returns (logits [vocab] f32 for the
+    last valid token, updated cache). Call with T=prompt_bucket for prefill
+    and T=1 for decode — the same function, jit-specialized per T."""
+    T = tokens.shape[0]
+    n_valid = jnp.asarray(T if n_valid is None else n_valid, dtype=jnp.int32)
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+
+    # Embedding gather + sqrt(n_embd) scale (reference model.cpp:710-712).
+    x = embed_rows(w.token_embd, tokens)  # [T, D] f32
+    x = x * jnp.float32(math.sqrt(hp.embedding_length))
+
+    inp_per_layer = _per_layer_inputs(hp, w, tokens, x)
+
+    new_k = list(cache.k)
+    new_v = list(cache.v)
+
+    for i, layer in enumerate(w.layers):
+        is_swa = hp.is_swa_layer(i)
+        rope_base = hp.rope_base_for_layer(i)
+        dk = hp.n_embd_head_k_swa if is_swa else hp.n_embd_head_k
+        dv = hp.n_embd_head_v_swa if is_swa else hp.n_embd_head_v
+
+        h = _norm(x, layer.attn_norm, hp.rms_eps)  # [T, D]
+
+        q = matmul(layer.wq, h).reshape(T, hp.n_head, dk)
+        if layer.q_norm is not None:
+            q = _norm(q, layer.q_norm, hp.rms_eps)
+        q = rope(q, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale,
+                 pos=pos + jnp.arange(T, dtype=jnp.int32))
+        q = q * jnp.float32(hp.f_attention_scale)
+
+        src = hp.kv_source_layer(i)
+        if hp.layer_has_kv(i):
+            k = matmul(layer.wk, h).reshape(T, hp.n_head_kv, dk)
+            if layer.k_norm is not None:
+                k = _norm(k, layer.k_norm, hp.rms_eps)
+            k = rope(k, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale,
+                     pos=pos + jnp.arange(T, dtype=jnp.int32))
+            v = matmul(layer.wv, h).reshape(T, hp.n_head_kv, dv)
+            if hp.architecture == "gemma4":
+                v = rms_norm(v, hp.rms_eps)  # unweighted V norm (model.cpp:812-827)
+            new_k[src] = _write_cache(new_k[src], k, pos, n_valid)
+            new_v[src] = _write_cache(new_v[src], v, pos, n_valid)
+
+        attn = _attention(q, new_k[src], new_v[src], pos=pos, hp=hp)
+        attn = matmul(layer.wo, attn)  # output projection [T, D]
+        if layer.post_attn_norm is not None:
+            attn = _norm(attn, layer.post_attn_norm, hp.rms_eps)
+        x = x + attn
+
+        h2 = _norm(x, layer.ffn_norm, hp.rms_eps)
+        gate = matmul(layer.w_gate, h2)
+        up = matmul(layer.w_up, h2)
+        ffn = matmul(layer.w_down, gelu_tanh(gate) * up)
+        if layer.post_ffw_norm is not None:
+            ffn = _norm(ffn, layer.post_ffw_norm, hp.rms_eps)
+        x = x + ffn
+
+        if inp_per_layer is not None:
+            # gemma4 per-layer-input epilogue (reference model.cpp:927-966).
+            gate_out = gelu_tanh(matmul(layer.per_layer_inp_gate, x))
+            gate_out = gate_out * inp_per_layer[:, i, :]
+            proj_out = matmul(layer.per_layer_proj, gate_out)
+            proj_out = rms_norm(proj_out, hp.rms_eps) * layer.per_layer_post_norm.astype(jnp.float32)
+            x = x + proj_out
+
+        if layer.out_scale is not None:
+            x = x * layer.out_scale.reshape(())  # reference model.cpp:969-977
+
+    # Final norm + tied-embedding logits for the LAST VALID token only
+    # (reference model.cpp:983-1034).
+    last = jnp.take(x, n_valid - 1, axis=0)
+    last = _norm(last, w.output_norm, hp.rms_eps)
+    logits = matmul(w.token_embd, last)
+    logits = softcap(logits, hp.final_logit_softcap)
+
+    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))

@@ -1,0 +1,176 @@
+"""GGUF tensor-name → device-weight mapping.
+
+The TPU analogue of the reference's ``map_tensors`` (reference
+model.cpp:169-238): every GGUF tensor (including the gemma4 alias sets) is
+repacked once at load time into device-resident planar quantized tensors
+(quant/device.py) or native-dtype dense tensors, organized as a pytree so
+the whole model state can flow through jit/pjit and be sharded with
+jax.sharding annotations.
+
+Norm weights are stored F32 in GGUF (the reference reads them as raw f32,
+model.cpp:361-386) and loaded here as plain f32 vectors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFFile, TensorInfo
+from ..quant.device import WeightTensor, from_gguf_bytes
+from .hparams import HParams, load_hparams
+
+_OPT = Optional
+_W = Optional[WeightTensor]
+_V = Optional[Array]
+
+_LAYER_DATA = [
+    "attn_norm", "wq", "wk", "wv", "wo", "q_norm", "k_norm",
+    "post_attn_norm", "ffn_norm", "w_gate", "w_up", "w_down", "post_ffw_norm",
+    "per_layer_inp_gate", "per_layer_proj", "per_layer_post_norm", "out_scale",
+]
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=_LAYER_DATA, meta_fields=[])
+@dataclasses.dataclass
+class LayerWeights:
+    attn_norm: _V = None
+    wq: _W = None
+    wk: _W = None
+    wv: _W = None
+    wo: _W = None
+    q_norm: _V = None
+    k_norm: _V = None
+    post_attn_norm: _V = None
+    ffn_norm: _V = None
+    w_gate: _W = None
+    w_up: _W = None
+    w_down: _W = None
+    post_ffw_norm: _V = None
+    # gemma4 per-layer-input path (reference model.cpp:927-966)
+    per_layer_inp_gate: _W = None
+    per_layer_proj: _W = None
+    per_layer_post_norm: _V = None
+    out_scale: _V = None  # scalar
+
+
+_MODEL_DATA = [
+    "token_embd", "output_norm", "layers",
+    "token_embd_per_layer", "per_layer_model_proj", "per_layer_proj_norm",
+]
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=_MODEL_DATA, meta_fields=[])
+@dataclasses.dataclass
+class ModelWeights:
+    token_embd: WeightTensor
+    output_norm: Array
+    layers: tuple[LayerWeights, ...]
+    token_embd_per_layer: _W = None
+    per_layer_model_proj: _W = None
+    per_layer_proj_norm: _V = None
+
+
+# GGUF per-layer param name (incl. gemma4 aliases, reference model.cpp:193-236)
+# -> LayerWeights field and kind ('w' = matmul weight, 'v' = f32 vector/scalar).
+_LAYER_PARAMS = {
+    "attn_norm.weight": ("attn_norm", "v"),
+    "attn_q.weight": ("wq", "w"),
+    "attn_k.weight": ("wk", "w"),
+    "attn_v.weight": ("wv", "w"),
+    "attn_output.weight": ("wo", "w"),
+    "ffn_norm.weight": ("ffn_norm", "v"),
+    "ffn_gate.weight": ("w_gate", "w"),
+    "ffn_up.weight": ("w_up", "w"),
+    "ffn_down.weight": ("w_down", "w"),
+    "post_attention_norm.weight": ("post_attn_norm", "v"),
+    "attn_post_norm.weight": ("post_attn_norm", "v"),
+    "post_ffw_norm.weight": ("post_ffw_norm", "v"),
+    "ffn_post_norm.weight": ("post_ffw_norm", "v"),
+    "attn_k_norm.weight": ("k_norm", "v"),
+    "attn_q_norm.weight": ("q_norm", "v"),
+    "out_scale.weight": ("out_scale", "v"),
+    "layer_output_scale.weight": ("out_scale", "v"),
+    "per_layer_inp_gate.weight": ("per_layer_inp_gate", "w"),
+    "inp_gate.weight": ("per_layer_inp_gate", "w"),
+    "per_layer_proj.weight": ("per_layer_proj", "w"),
+    "proj.weight": ("per_layer_proj", "w"),
+    "per_layer_post_norm.weight": ("per_layer_post_norm", "v"),
+    "post_norm.weight": ("per_layer_post_norm", "v"),
+}
+
+
+def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None) -> WeightTensor:
+    return from_gguf_bytes(
+        gguf.tensor_bytes(info), info.tensor_type, info.n_rows, info.n_cols, sharding=sharding
+    )
+
+
+def _load_v(gguf: GGUFFile, info: TensorInfo) -> Array:
+    if info.tensor_type != GGMLType.F32:
+        raise ValueError(f"{info.name}: norm/scale weights must be F32, got {info.tensor_type}")
+    return jnp.asarray(np.ascontiguousarray(gguf.tensor_bytes(info)).view(np.float32).copy())
+
+
+def load_weights(
+    gguf: GGUFFile,
+    hparams: HParams | None = None,
+    *,
+    sharding_fn=None,
+) -> tuple[HParams, ModelWeights]:
+    """Map + repack every model tensor onto device.
+
+    ``sharding_fn(tensor_name, info) -> jax.sharding.Sharding | None`` lets
+    the parallel layer choose per-tensor shardings (tensor parallelism);
+    default is single-device placement by jax.device_put.
+    """
+    hp = hparams or load_hparams(gguf.metadata)
+    layers = [dict() for _ in range(hp.block_count)]
+    token_embd = output_norm = None
+    token_embd_per_layer = per_layer_model_proj = per_layer_proj_norm = None
+
+    for info in gguf.tensor_infos:
+        name = info.name
+        shard = sharding_fn(name, info) if sharding_fn else None
+        if name == "token_embd.weight":
+            token_embd = _load_w(gguf, info, shard)
+        elif name == "output_norm.weight":
+            output_norm = _load_v(gguf, info)
+        elif name in ("token_embd_per_layer.weight", "per_layer_token_embd.weight"):
+            token_embd_per_layer = _load_w(gguf, info, shard)
+        elif name == "per_layer_model_proj.weight":
+            per_layer_model_proj = _load_w(gguf, info, shard)
+        elif name == "per_layer_proj_norm.weight":
+            per_layer_proj_norm = _load_v(gguf, info)
+        elif name.startswith("blk."):
+            _, idx, param = name.split(".", 2)
+            i = int(idx)
+            if i >= hp.block_count:
+                continue
+            entry = _LAYER_PARAMS.get(param)
+            if entry is None:
+                continue  # unknown per-layer tensors are ignored, as in the reference
+            field, kind = entry
+            layers[i][field] = _load_w(gguf, info, shard) if kind == "w" else _load_v(gguf, info)
+
+    if token_embd is None:
+        raise ValueError("GGUF is missing token_embd.weight")
+    if output_norm is None:
+        raise ValueError("GGUF is missing output_norm.weight")
+
+    model = ModelWeights(
+        token_embd=token_embd,
+        output_norm=output_norm,
+        layers=tuple(LayerWeights(**lw) for lw in layers),
+        token_embd_per_layer=token_embd_per_layer,
+        per_layer_model_proj=per_layer_model_proj,
+        per_layer_proj_norm=per_layer_proj_norm,
+    )
+    return hp, model

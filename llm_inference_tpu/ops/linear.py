@@ -1,0 +1,67 @@
+"""Quantized linear layers: y = x @ W^T with the reference's numeric contract.
+
+The reference dispatches a per-format fused dequant+GEMV on every matmul
+(reference ops.cpp:933-956). Here the same numerical contract is expressed
+as XLA-friendly batched matmuls:
+
+  1. the activation is rounded through the format's activation-quant
+     contract (q8_0 / q8_K / f16-downcast / none) — ops/actquant.py;
+  2. the weight is dequantized to its exact reference f32 values;
+  3. a plain f32 matmul contracts them.
+
+Because dequantization is exact and the integer dot distributes over the
+per-block scales, this is mathematically identical to the reference's
+integer formulation (including Q4_K's bsums min-correction) while mapping
+onto the MXU as one large GEMM. The Pallas kernels in ops/pallas fuse
+steps 2-3 so packed blocks never materialize in HBM; this module is the
+reference-correct fallback and the single-dispatch point.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from ..quant.device import DenseTensor, QuantTensor, WeightTensor
+from .actquant import roundtrip_q8_0, roundtrip_q8_k
+from .numerics import f16_round
+
+
+def contract_activations(x: Array, act_quant: str) -> Array:
+    """Round activations through a weight format's quantization contract."""
+    if act_quant == "q8_0":
+        return roundtrip_q8_0(x)
+    if act_quant == "q8_k":
+        return roundtrip_q8_k(x)
+    if act_quant == "f16":
+        return f16_round(x.astype(jnp.float32))
+    return x.astype(jnp.float32)
+
+
+def matmul(w: WeightTensor, x: Array, *, apply_contract: bool = True) -> Array:
+    """y[..., r] = sum_c W[r, c] * x'[..., c] in f32.
+
+    ``x`` is [..., cols]; returns [..., rows]. With ``apply_contract`` the
+    activation passes through the reference's per-format quantization
+    round-trip first (parity mode); without it, raw f32 (fast mode).
+    """
+    if x.shape[-1] != w.cols:
+        raise ValueError(f"matmul: x has {x.shape[-1]} features, weight expects {w.cols}")
+    xr = contract_activations(x, w.act_quant) if apply_contract else x.astype(jnp.float32)
+    wd = w.dequant(jnp.float32)
+    return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32)
+
+
+def embed_rows(w: WeightTensor, token_ids: Array) -> Array:
+    """Gather + dequantize embedding rows (reference embed_tokens,
+    model.cpp:240-334). Gathers the *packed* representation first so only
+    the touched rows dequantize."""
+    if isinstance(w, DenseTensor):
+        return w.w[token_ids].astype(jnp.float32)
+    assert isinstance(w, QuantTensor)
+    q = w.q[token_ids].astype(jnp.float32)  # [T, G, S]
+    s = w.scale[token_ids][..., None]
+    rows = q * s
+    if w.offset is not None:
+        rows = rows - w.offset[token_ids][..., None]
+    return rows.reshape(token_ids.shape + (w.cols,))

@@ -1,0 +1,202 @@
+"""Device-resident quantized weights: planar int8 + per-group f32 scales.
+
+The reference keeps GGUF block bytes mmap'd and fuses dequantization into
+every GEMV (reference ops.cpp:188-956). The TPU-native equivalent is a
+*planar* layout engineered for the MXU and HBM:
+
+    W[r, g*S + j] == scale[r, g] * q[r, g, j] - offset[r, g]     (exactly)
+
+  - ``q``     int8  [rows, groups, group_size]  — the quantized integers,
+              nibble-unpacked once at load time (host), contiguous in HBM.
+  - ``scale`` f32   [rows, groups]  — exact products of the block's f16
+              scale and integer sub-scales (e.g. Q4_K's d * sc are exact
+              in f32), so dequantization reproduces the reference's f32
+              values bit-for-bit.
+  - ``offset`` f32  [rows, groups] or None — Q4_K's dmin * m min term.
+
+This is what the Pallas fused dequant-matmul kernels consume directly, and
+what the naive XLA path dequantizes in-graph. The group size is the
+finest scale granularity of the format (32 for Q4_0/Q5_0/Q8_0/Q4_K, 16
+for Q6_K), so one layout serves every encoding.
+
+Each format's ``act_quant`` field records the reference's activation-
+quantization contract for that weight encoding (reference ops.cpp:210,
+627, 721, 800 / f16 downcast at :471-475 / none for Q5_0 at :840-893).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..gguf.constants import GGMLType
+from . import layouts
+
+# Activation contract per weight encoding (what the reference GEMV does to x).
+ACT_QUANT = {
+    GGMLType.Q4_0: "q8_0",
+    GGMLType.Q8_0: "q8_0",
+    GGMLType.Q4_K: "q8_k",
+    GGMLType.Q6_K: "q8_k",
+    GGMLType.Q5_0: "none",  # float dot, reference ops.cpp:840-893
+    GGMLType.F16: "f16",  # x downcast to f16, reference ops.cpp:455-612
+    GGMLType.BF16: "none",
+    GGMLType.F32: "none",
+}
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scale", "offset"],
+    meta_fields=["fmt", "rows", "cols", "group_size"],
+)
+@dataclasses.dataclass
+class QuantTensor:
+    """Planar quantized 2-D weight, a pytree of device arrays."""
+
+    q: Array  # int8 [rows, groups, group_size]
+    scale: Array  # f32 [rows, groups]
+    offset: Optional[Array]  # f32 [rows, groups] or None
+    fmt: GGMLType
+    rows: int
+    cols: int
+    group_size: int
+
+    @property
+    def act_quant(self) -> str:
+        return ACT_QUANT[self.fmt]
+
+    def dequant(self, dtype=jnp.float32) -> Array:
+        """In-graph dequantization to [rows, cols]."""
+        w = self.q.astype(jnp.float32) * self.scale[..., None]
+        if self.offset is not None:
+            w = w - self.offset[..., None]
+        return w.reshape(self.rows, self.cols).astype(dtype)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["w"],
+    meta_fields=["fmt", "rows", "cols"],
+)
+@dataclasses.dataclass
+class DenseTensor:
+    """Unquantized 2-D weight (F16/BF16/F32) stored in its native dtype."""
+
+    w: Array  # [rows, cols] f16/bf16/f32
+    fmt: GGMLType
+    rows: int
+    cols: int
+
+    @property
+    def act_quant(self) -> str:
+        return ACT_QUANT[self.fmt]
+
+    def dequant(self, dtype=jnp.float32) -> Array:
+        return self.w.astype(dtype)
+
+
+WeightTensor = QuantTensor | DenseTensor
+
+
+# ---------------------------------------------------------------------------
+# host-side repacking: raw GGUF block bytes -> planar numpy fields
+# (vectorized numpy; cited layouts are bit-validated against the reference)
+
+
+def _plan_q4_0(raw: np.ndarray, rows: int, cols: int):
+    f = layouts.decode_q4_0(raw, rows, cols)
+    qs = f["qs"].astype(np.int16)
+    q = np.concatenate([qs & 0x0F, qs >> 4], axis=-1).astype(np.int8) - 8
+    return q, f["d"].astype(np.float32), None, 32
+
+
+def _plan_q8_0(raw: np.ndarray, rows: int, cols: int):
+    f = layouts.decode_q8_0(raw, rows, cols)
+    return f["qs"].copy(), f["d"].astype(np.float32), None, 32
+
+
+def _plan_q5_0(raw: np.ndarray, rows: int, cols: int):
+    f = layouts.decode_q5_0(raw, rows, cols)
+    qs = f["qs"].astype(np.uint32)
+    qh = f["qh"][..., None]
+    bits = np.arange(32, dtype=np.uint32)
+    high = ((qh >> bits) & 1) << 4
+    low = np.concatenate([qs & 0x0F, qs >> 4], axis=-1)
+    q = ((low | high).astype(np.int16) - 16).astype(np.int8)
+    return q, f["d"].astype(np.float32), None, 32
+
+
+def _plan_q4_k(raw: np.ndarray, rows: int, cols: int):
+    f = layouts.decode_q4_k(raw, rows, cols)
+    sc, m = layouts._q4k_scale_min(f["scales"])  # [R, NB, 8]
+    q = layouts._q4k_expand(f["qs"]).astype(np.int8)  # [R, NB, 256] in 0..15
+    d = f["d"].astype(np.float32)[..., None]
+    dmin = f["dmin"].astype(np.float32)[..., None]
+    scale = (d * sc.astype(np.float32)).reshape(rows, -1)  # per-32 group
+    offset = (dmin * m.astype(np.float32)).reshape(rows, -1)
+    return q.reshape(rows, -1, 32), scale, offset, 32
+
+
+def _plan_q6_k(raw: np.ndarray, rows: int, cols: int):
+    f = layouts.decode_q6_k(raw, rows, cols)
+    q = layouts._q6k_expand(f["ql"], f["qh"]).astype(np.int8)  # centered
+    d = f["d"].astype(np.float32)[..., None]
+    scale = (d * f["scales"].astype(np.float32)).reshape(rows, -1)  # per-16
+    return q.reshape(rows, -1, 16), scale, None, 16
+
+
+_PLANAR = {
+    GGMLType.Q4_0: _plan_q4_0,
+    GGMLType.Q8_0: _plan_q8_0,
+    GGMLType.Q5_0: _plan_q5_0,
+    GGMLType.Q4_K: _plan_q4_k,
+    GGMLType.Q6_K: _plan_q6_k,
+}
+
+_DENSE_DTYPE = {
+    GGMLType.F16: jnp.float16,
+    GGMLType.BF16: jnp.bfloat16,
+    GGMLType.F32: jnp.float32,
+}
+
+
+def from_gguf_bytes(
+    raw: np.ndarray,
+    fmt: GGMLType,
+    rows: int,
+    cols: int,
+    *,
+    device=None,
+    sharding=None,
+) -> WeightTensor:
+    """Repack raw GGUF tensor bytes into a device-resident weight.
+
+    Quantized encodings become :class:`QuantTensor` (planar int8 + scales);
+    float encodings become :class:`DenseTensor` in their native dtype.
+    ``sharding`` (a jax.sharding.Sharding) wins over ``device``.
+    """
+    fmt = GGMLType(fmt)
+    put = lambda x: jax.device_put(x, sharding if sharding is not None else device)  # noqa: E731
+    if fmt in _DENSE_DTYPE:
+        w = layouts.dequantize(raw, fmt, rows, cols)
+        return DenseTensor(w=put(jnp.asarray(w, dtype=_DENSE_DTYPE[fmt])), fmt=fmt, rows=rows, cols=cols)
+    plan = _PLANAR.get(fmt)
+    if plan is None:
+        raise ValueError(f"unsupported weight encoding {fmt!r}")
+    q, scale, offset, gs = plan(raw, rows, cols)
+    return QuantTensor(
+        q=put(jnp.asarray(q)),
+        scale=put(jnp.asarray(scale)),
+        offset=None if offset is None else put(jnp.asarray(offset)),
+        fmt=fmt,
+        rows=rows,
+        cols=cols,
+        group_size=gs,
+    )

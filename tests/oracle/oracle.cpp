@@ -123,7 +123,17 @@ long oracle_matvec(void* fp, const char* name, const float* x, long x_len, float
     std::vector<float> xv(x, x + x_len);
     std::vector<float> o;
     try {
-      mat_vec_mul(o, info, *f, xv);
+      if (info.tensor_type == (uint32_t)GGUFTensorType::F16) {
+        // The dispatcher has no F16 case; the model calls mat_vec_mul_fp16
+        // directly for preloaded F16 weights (reference model.cpp:992-996).
+        const size_t n_cols = info.shape[0];
+        const size_t n_rows = info.shape[1];
+        const uint16_t* p = reinterpret_cast<const uint16_t*>(f->get_tensor_data(info));
+        std::vector<uint16_t> w(p, p + n_rows * n_cols);
+        mat_vec_mul_fp16(o, w, xv, n_rows, n_cols);
+      } else {
+        mat_vec_mul(o, info, *f, xv);
+      }
     } catch (...) {
       return -1;
     }

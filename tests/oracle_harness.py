@@ -42,7 +42,11 @@ def _build() -> Path:
     if so.exists():
         return so
     cmd = [
-        "g++", "-shared", "-fPIC", "-O1", "-std=c++17",
+        "g++", "-shared", "-fPIC", "-O2", "-std=c++17",
+        # Match the reference's x86 production build flags (reference
+        # BUILD:45-50) so its SIMD kernels — and therefore the activation-
+        # quantization contract — are what the oracle exercises.
+        "-mavx2", "-mfma", "-mf16c",
         str(ORACLE_SRC),
         *[str(REFERENCE_DIR / s) for s in _REF_SOURCES],
         f"-I{REFERENCE_DIR}",
