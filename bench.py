@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Decode-throughput benchmark on a Gemma-3-1B-shaped Q4_0 checkpoint.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "tok/s", "vs_baseline": N}
+
+The model is a synthetic (seeded-random) checkpoint with the real
+Gemma-3-1B geometry — 26 layers, d_model 1152, ffn 6912, 4 heads /
+1 KV head, head_dim 256, vocab 262144, Q4_0 layer weights + F16 tied
+embeddings — so the bytes-moved-per-token matches the real model the
+reference's README benchmarks (31.53 tok/s on CPU, reference README.md:85).
+The checkpoint is cached at /tmp so repeat runs skip generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+
+BASELINE_TOK_S = 31.53  # reference README.md:85 (gemma-3-1b-it Q4_0, greedy)
+
+# Gemma-3-1B geometry (gguf metadata of the real checkpoint)
+GEOM = dict(n_layers=26, n_embd=1152, n_ff=6912, n_head=4, n_head_kv=1, head_dim=256)
+VOCAB_SIZE = 262144
+
+CACHE = Path(os.environ.get("LLMI_BENCH_GGUF", "/tmp/llmi_bench_gemma3_1b_q4_0.gguf"))
+
+PREFILL_LEN = 32
+DECODE_STEPS = 64
+WARMUP_STEPS = 8
+MAX_SEQ = 1024
+
+
+def build_checkpoint() -> None:
+    from fixtures import build_gemma3_gguf
+
+    vocab = [f"t{i}" for i in range(VOCAB_SIZE)]
+    vocab[1] = "<eos>"
+    vocab[2] = "<bos>"
+    vocab[3] = "<unk>"
+    buf = build_gemma3_gguf(vocab=vocab, seed=20260816, **GEOM)
+    tmp = CACHE.with_suffix(".tmp")
+    tmp.write_bytes(buf)
+    tmp.rename(CACHE)
+
+
+def main() -> None:
+    if not CACHE.exists():
+        t0 = time.time()
+        build_checkpoint()
+        print(f"built synthetic checkpoint in {time.time()-t0:.1f}s -> {CACHE}", file=sys.stderr)
+
+    import jax
+    import numpy as np
+
+    from llm_inference_tpu.engine import Engine, GenerationStats
+
+    engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode="serve", decode_chunk=32)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    # random weights can argmax onto <eos>; never stop early in the benchmark
+    engine.tokenizer.eos_id = -1
+    engine.tokenizer.end_of_turn_id = -1
+
+    rng = np.random.default_rng(0)
+    prompt_ids = [2] + rng.integers(10, 10000, size=PREFILL_LEN - 1).tolist()
+
+    # warmup run: compiles prefill + decode-chunk, fills jit caches
+    warm = GenerationStats()
+    engine.generate_from_ids(prompt_ids, n_predict=WARMUP_STEPS, stats=warm)
+    print(
+        f"warmup: prefill({PREFILL_LEN}) incl. compile {warm.prefill_seconds:.2f}s, "
+        f"decode compile+run {warm.decode_seconds:.2f}s",
+        file=sys.stderr,
+    )
+
+    stats = GenerationStats()
+    engine.generate_from_ids(prompt_ids, n_predict=DECODE_STEPS, stats=stats)
+    tok_s = stats.decode_tok_per_s
+    print(
+        f"prefill {stats.prefill_seconds*1e3:.1f} ms, "
+        f"decode {stats.decode_steps} steps in {stats.decode_seconds:.3f}s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tok_s_gemma3_1b_q4_0",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

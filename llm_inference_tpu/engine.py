@@ -1,0 +1,207 @@
+"""Inference engine: jit-compiled prefill/decode over a preallocated cache.
+
+The TPU-native replacement of the reference's decode driver (reference
+main.cpp:160-234). Differences by design:
+
+  - ``forward`` is compiled ONCE per (bucket) shape; prompts are padded to
+    power-of-two buckets (with masked cache writes, models/gemma.py) so a
+    new prompt length doesn't recompile, and prefill runs as one batched
+    GEMM pass instead of token-by-token GEMVs.
+  - Decode runs in on-device CHUNKS: a lax.scan of N forward+argmax steps
+    per dispatch, so the host round-trip (which dominates single-token
+    stepping through a tunnel/PCIe) is amortized N ways. Only the sampled
+    token ids cross back per chunk.
+  - The KV cache is donated through the step so XLA updates it in place
+    in HBM instead of copying.
+
+Two numeric modes (models/gemma.py `exact`):
+  - "parity":  the reference's numeric contract — cross-engine validation.
+  - "serve":   bf16 weights on the MXU — the production path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gguf.reader import GGUFFile
+from .models.gemma import KVCache, forward, init_cache
+from .models.hparams import HParams, load_hparams
+from .models.weights import ModelWeights, load_weights
+from .tokenizer import Tokenizer
+
+DEFAULT_MAX_SEQ = 4096
+MIN_PREFILL_BUCKET = 32
+DECODE_CHUNK = 16
+
+
+def prefill_bucket(n: int) -> int:
+    """Round a prompt length up to the next power-of-two bucket."""
+    b = MIN_PREFILL_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class GenerationStats:
+    prompt_tokens: int = 0
+    generated_tokens: int = 0
+    prefill_seconds: float = 0.0
+    decode_seconds: float = 0.0
+    decode_steps: int = 0  # device steps executed (>= generated_tokens)
+
+    @property
+    def decode_tok_per_s(self) -> float:
+        return self.decode_steps / self.decode_seconds if self.decode_seconds else 0.0
+
+
+class Engine:
+    """Single-model generation engine (greedy sampling, batch 1).
+
+    Mirrors the reference CLI's capabilities; continuous batching and
+    multi-chip serving build on the same jitted step functions.
+    """
+
+    def __init__(
+        self,
+        gguf: GGUFFile | str,
+        *,
+        max_seq: int = DEFAULT_MAX_SEQ,
+        mode: str = "serve",  # "serve" (bf16 MXU) | "parity" (reference contract)
+        sharding_fn=None,
+        cache_sharding=None,
+        decode_chunk: int = DECODE_CHUNK,
+    ):
+        if isinstance(gguf, str):
+            gguf = GGUFFile(gguf)
+        if mode not in ("serve", "parity"):
+            raise ValueError(f"unknown engine mode {mode!r}")
+        self.gguf = gguf
+        self.mode = mode
+        exact = mode == "parity"
+        self.hparams, self.weights = load_weights(
+            gguf, sharding_fn=sharding_fn, mode="packed" if exact else "bf16"
+        )
+        self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
+        self.max_seq = max_seq
+        self.decode_chunk = decode_chunk
+        self._cache_sharding = cache_sharding
+
+        hp = self.hparams
+
+        def _prefill(w: ModelWeights, cache: KVCache, tokens, pos, n_valid):
+            logits, cache = forward(hp, w, cache, tokens, pos, n_valid, exact=exact)
+            return jnp.argmax(logits).astype(jnp.int32), logits, cache
+
+        def _decode_chunk_fn(w: ModelWeights, cache: KVCache, token, pos):
+            def body(carry, _):
+                cache, tok, p = carry
+                logits, cache = forward(hp, w, cache, tok[None], p, exact=exact)
+                nxt = jnp.argmax(logits).astype(jnp.int32)
+                return (cache, nxt, p + 1), nxt
+
+            (cache, tok, p), toks = jax.lax.scan(
+                body, (cache, token, pos), None, length=decode_chunk
+            )
+            return toks, cache
+
+        # donate the cache: XLA aliases it in HBM instead of copying
+        self._prefill = jax.jit(_prefill, donate_argnums=(1,))
+        self._decode_chunk = jax.jit(_decode_chunk_fn, donate_argnums=(1,))
+
+    def new_cache(self) -> KVCache:
+        return init_cache(self.hparams, self.max_seq, sharding=self._cache_sharding)
+
+    def generate(
+        self,
+        prompt: str,
+        *,
+        n_predict: int = 100,
+        apply_chat_template: bool = True,
+        on_token: Optional[Callable[[int], None]] = None,
+        stats: Optional[GenerationStats] = None,
+    ) -> list[int]:
+        """Greedy generation (reference main.cpp:160-234). Returns generated
+        token ids (stop token excluded). ``on_token`` streams each id."""
+        enc = self.tokenizer.encode(prompt, apply_chat_template)
+        return self.generate_from_ids(
+            enc.ids, n_predict=n_predict, on_token=on_token, stats=stats
+        )
+
+    def generate_from_ids(
+        self,
+        prompt_ids: list[int],
+        *,
+        n_predict: int = 100,
+        on_token: Optional[Callable[[int], None]] = None,
+        stats: Optional[GenerationStats] = None,
+    ) -> list[int]:
+        if len(prompt_ids) + n_predict + self.decode_chunk > self.max_seq:
+            raise ValueError(
+                f"prompt ({len(prompt_ids)}) + n_predict ({n_predict}) + chunk margin "
+                f"exceeds max_seq {self.max_seq}"
+            )
+        cache = self.new_cache()
+
+        t0 = time.perf_counter()
+        bucket = prefill_bucket(len(prompt_ids))
+        padded = np.zeros(bucket, dtype=np.int32)
+        padded[: len(prompt_ids)] = prompt_ids
+        next_tok, _, cache = self._prefill(
+            self.weights, cache, jnp.asarray(padded),
+            jnp.int32(0), jnp.int32(len(prompt_ids)),
+        )
+        first_id = int(next_tok)
+        t1 = time.perf_counter()
+
+        out: list[int] = []
+        device_steps = 0
+        pos = len(prompt_ids)
+        pending = first_id
+        done = self.tokenizer.is_stop(first_id)
+        while not done and len(out) < n_predict:
+            out.append(pending)
+            if on_token:
+                on_token(pending)
+            if len(out) >= n_predict:
+                break
+            # device chunk: continues from `pending` at position `pos`
+            toks, cache = self._decode_chunk(
+                self.weights, cache, jnp.asarray(pending, dtype=jnp.int32), jnp.int32(pos)
+            )
+            toks = np.asarray(toks)
+            device_steps += self.decode_chunk
+            pos += self.decode_chunk
+            for tid in toks[:-1]:
+                tid = int(tid)
+                if self.tokenizer.is_stop(tid) or len(out) >= n_predict:
+                    done = True
+                    break
+                out.append(tid)
+                if on_token:
+                    on_token(tid)
+            else:
+                pending = int(toks[-1])
+                done = self.tokenizer.is_stop(pending)
+                continue
+            break
+        t2 = time.perf_counter()
+
+        if stats is not None:
+            stats.prompt_tokens = len(prompt_ids)
+            stats.generated_tokens = len(out)
+            stats.prefill_seconds = t1 - t0
+            stats.decode_seconds = t2 - t1
+            stats.decode_steps = device_steps
+        return out
+
+    def generate_text(self, prompt: str, **kw) -> str:
+        """Generate and decode to display text."""
+        return self.tokenizer.decode(self.generate(prompt, **kw))

@@ -41,6 +41,7 @@ from jax import Array
 
 from ..ops.linear import matmul, embed_rows
 from ..ops.numerics import f16_round, gelu_tanh, rms_norm, rope, softcap
+from ..trace import tap
 from .hparams import HParams
 from .weights import LayerWeights, ModelWeights
 
@@ -101,22 +102,17 @@ def _write_cache(cache: Array, new: Array, pos: Array, n_valid: Array) -> Array:
     return cache.at[slots].set(new.astype(cache.dtype), mode="drop")
 
 
-def _attention(
-    q: Array,  # [T, H, Dk] f32, already scaled
-    k_cache: Array,  # [S, Hkv, Dk] f16
-    v_cache: Array,  # [S, Hkv, Dv] f16
-    *,
-    pos: Array,
-    hp: HParams,
-) -> Array:
-    """Masked-softmax attention over the full cache (reference run_attn,
-    model.cpp:478-548). Returns [T, H*Dv] f32."""
+def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams, exact: bool = True):
+    """QK scores + softcap + ALiBi + causal mask (reference model.cpp:501-518).
+
+    Returns (scores [T, Hkv, group, S] f32 with -inf at masked slots,
+    valid [T, S] bool)."""
     T, H, Dk = q.shape
-    S, Hkv, Dv = v_cache.shape
+    S, Hkv, _ = k_cache.shape
     group = H // Hkv
 
     # Parity: Q rounds through f16 before the QK dot (model.cpp:504-509).
-    qg = f16_round(q).reshape(T, Hkv, group, Dk)
+    qg = (f16_round(q) if exact else q.astype(jnp.float32)).reshape(T, Hkv, group, Dk)
     k = k_cache.astype(jnp.float32)
     scores = jnp.einsum("tkgd,skd->tkgs", qg, k, preferred_element_type=jnp.float32)
 
@@ -129,8 +125,25 @@ def _attention(
         bias = (key_pos[None, :] - q_pos[:, None]).astype(jnp.float32)  # [T, S]
         scores = scores + slopes[None, :, :, None] * bias[:, None, None, :]
 
-    mask = key_pos[None, :] <= q_pos[:, None]  # causal over written slots [T, S]
-    scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+    valid = key_pos[None, :] <= q_pos[:, None]  # causal over written slots [T, S]
+    scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
+    return scores, valid
+
+
+def _attention(
+    q: Array,  # [T, H, Dk] f32, already scaled
+    k_cache: Array,  # [S, Hkv, Dk] f16
+    v_cache: Array,  # [S, Hkv, Dv] f16
+    *,
+    pos: Array,
+    hp: HParams,
+    exact: bool = True,
+) -> Array:
+    """Masked-softmax attention over the full cache (reference run_attn,
+    model.cpp:478-548), f32 accumulation. Returns [T, H*Dv] f32."""
+    T, H, _ = q.shape
+    S, Hkv, Dv = v_cache.shape
+    scores, _ = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -142,7 +155,63 @@ def _attention(
     return out.reshape(T, H * Dv)
 
 
-def _per_layer_inputs(hp: HParams, w: ModelWeights, tokens: Array, x: Array) -> Optional[Array]:
+def _attention_parity(
+    q: Array,
+    k_cache: Array,
+    v_cache: Array,
+    *,
+    pos: Array,
+    hp: HParams,
+    exact: bool = True,
+) -> Array:
+    """Bit-faithful emulation of the reference's online-softmax attention
+    with its f16 V-accumulator (reference model.cpp:501-548, vec_scale_f16 /
+    vec_mad_f16 ops.cpp:1084-1099): the accumulator rounds to f16 after
+    every scale and every mad, in cache-slot order. A lax.scan over slots —
+    slow by construction, used by the parity harness, never for serving."""
+    T, H, _ = q.shape
+    S, Hkv, Dv = v_cache.shape
+    group = H // Hkv
+    scores, valid = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact)
+
+    def step(carry, inputs):
+        max_s, s_acc, v_acc = carry  # [T,Hkv,g], [T,Hkv,g], [T,Hkv,g,Dv]
+        score_s, v_s, valid_s = inputs  # [T,Hkv,g], [Hkv,Dv], [T]
+        gt = score_s > max_s
+        new_max = jnp.where(gt, score_s, max_s)
+        score_exp = jnp.where(gt, 1.0, jnp.exp(score_s - new_max))
+        prev_exp = jnp.where(gt, jnp.exp(max_s - new_max), 1.0)
+        # vec_scale_f16 then vec_mad_f16 — f16 rounding after each.
+        va = f16_round(v_acc * prev_exp[..., None])
+        va = f16_round(va + v_s.astype(jnp.float32)[None, :, None, :] * score_exp[..., None])
+        new_s = s_acc * prev_exp + score_exp
+        keep = valid_s[:, None, None]
+        return (
+            jnp.where(keep, new_max, max_s),
+            jnp.where(keep, new_s, s_acc),
+            jnp.where(keep[..., None], va, v_acc),
+        ), None
+
+    init = (
+        jnp.full((T, Hkv, group), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((T, Hkv, group), dtype=jnp.float32),
+        jnp.zeros((T, Hkv, group, Dv), dtype=jnp.float32),
+    )
+    xs = (
+        jnp.moveaxis(scores, -1, 0),  # [S,T,Hkv,g]
+        v_cache,  # [S,Hkv,Dv]
+        valid.T,  # [S,T]
+    )
+    (max_s, s_acc, v_acc), _ = jax.lax.scan(step, init, xs)
+    s_inv = jnp.where(s_acc == 0.0, 0.0, 1.0 / jnp.where(s_acc == 0.0, 1.0, s_acc))
+    out = f16_round(v_acc) * s_inv[..., None]
+    return out.reshape(T, H * Dv)
+
+
+_ATTENTION_IMPLS = {"fused": _attention, "parity": _attention_parity}
+
+
+def _per_layer_inputs(hp: HParams, w: ModelWeights, tokens: Array, x: Array, exact: bool = True) -> Optional[Array]:
     """gemma4 AltUp inputs: gather per-layer embeddings, project the hidden
     state into them (reference model.cpp:568-704). Returns [T, L, P] or None."""
     if w.token_embd_per_layer is None:
@@ -152,7 +221,7 @@ def _per_layer_inputs(hp: HParams, w: ModelWeights, tokens: Array, x: Array) -> 
     inp = rows.reshape(-1, L, P) * jnp.float32(math.sqrt(P))
     if w.per_layer_model_proj is None:
         return inp
-    proj = matmul(w.per_layer_model_proj, x)  # [T, L*P]
+    proj = matmul(w.per_layer_model_proj, x, exact=exact)  # [T, L*P]
     proj = proj * jnp.float32(1.0 / math.sqrt(hp.embedding_length))
     proj = proj.reshape(-1, L, P)
     proj = rms_norm(proj, hp.rms_eps) * w.per_layer_proj_norm.astype(jnp.float32)
@@ -166,19 +235,30 @@ def forward(
     tokens: Array,  # [T] int32 (may include right-padding)
     pos: Array,  # scalar int32: absolute position of tokens[0]
     n_valid: Array | int | None = None,  # tokens beyond this are padding
+    *,
+    attention_impl: str = "fused",  # "fused" (serving) | "parity" (validation)
+    exact: bool = True,  # reference numeric contract vs bf16 serve mode
 ) -> tuple[Array, KVCache]:
     """One forward step over T tokens. Returns (logits [vocab] f32 for the
     last valid token, updated cache). Call with T=prompt_bucket for prefill
-    and T=1 for decode — the same function, jit-specialized per T."""
+    and T=1 for decode — the same function, jit-specialized per T.
+
+    ``exact=True`` reproduces the reference's numeric contract (f32
+    matmuls of exactly-dequantized weights, activation-quant round-trips,
+    the f16 rounding points). ``exact=False`` is the serving path: bf16
+    weights/activations on the MXU, no contract round-trips — same model,
+    ~1e-2 relative logit noise, 10x+ the throughput."""
+    attention = partial(_ATTENTION_IMPLS[attention_impl], exact=exact)
+    mm = partial(matmul, exact=exact)
     T = tokens.shape[0]
     n_valid = jnp.asarray(T if n_valid is None else n_valid, dtype=jnp.int32)
     pos = jnp.asarray(pos, dtype=jnp.int32)
 
     # Embedding gather + sqrt(n_embd) scale (reference model.cpp:710-712).
-    x = embed_rows(w.token_embd, tokens)  # [T, D] f32
-    x = x * jnp.float32(math.sqrt(hp.embedding_length))
+    x = tap("imp_embed", embed_rows(w.token_embd, tokens))  # [T, D] f32
+    x = tap("inp_scaled", x * jnp.float32(math.sqrt(hp.embedding_length)))
 
-    inp_per_layer = _per_layer_inputs(hp, w, tokens, x)
+    inp_per_layer = _per_layer_inputs(hp, w, tokens, x, exact)
 
     new_k = list(cache.k)
     new_v = list(cache.v)
@@ -189,47 +269,51 @@ def forward(
         dk = hp.n_embd_head_k_swa if is_swa else hp.n_embd_head_k
         dv = hp.n_embd_head_v_swa if is_swa else hp.n_embd_head_v
 
-        h = _norm(x, layer.attn_norm, hp.rms_eps)  # [T, D]
+        h = tap(f"attn_norm-{i}", _norm(x, layer.attn_norm, hp.rms_eps))  # [T, D]
 
-        q = matmul(layer.wq, h).reshape(T, hp.n_head, dk)
+        q = tap(f"Qcur-{i}", mm(layer.wq, h)).reshape(T, hp.n_head, dk)
         if layer.q_norm is not None:
-            q = _norm(q, layer.q_norm, hp.rms_eps)
+            q = tap(f"Qcur_normed-{i}", _norm(q, layer.q_norm, hp.rms_eps))
         q = rope(q, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale,
                  pos=pos + jnp.arange(T, dtype=jnp.int32))
-        q = q * jnp.float32(hp.f_attention_scale)
+        q = tap(f"Qcur-{i} (post rope)", q)
+        q = tap(f"node_9-{i} (post scale)", q * jnp.float32(hp.f_attention_scale))
 
         src = hp.kv_source_layer(i)
         if hp.layer_has_kv(i):
-            k = matmul(layer.wk, h).reshape(T, hp.n_head_kv, dk)
+            k = tap(f"Kcur-{i}", mm(layer.wk, h)).reshape(T, hp.n_head_kv, dk)
             if layer.k_norm is not None:
-                k = _norm(k, layer.k_norm, hp.rms_eps)
+                k = tap(f"Kcur_normed-{i}", _norm(k, layer.k_norm, hp.rms_eps))
             k = rope(k, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale,
                      pos=pos + jnp.arange(T, dtype=jnp.int32))
-            v = matmul(layer.wv, h).reshape(T, hp.n_head_kv, dv)
+            k = tap(f"Kcur-{i} (post rope)", k)
+            v = tap(f"Vcur-{i}", mm(layer.wv, h)).reshape(T, hp.n_head_kv, dv)
             if hp.architecture == "gemma4":
-                v = rms_norm(v, hp.rms_eps)  # unweighted V norm (model.cpp:812-827)
+                # unweighted V norm (model.cpp:812-827)
+                v = tap(f"Vcur_normed-{i}", rms_norm(v, hp.rms_eps))
             new_k[src] = _write_cache(new_k[src], k, pos, n_valid)
             new_v[src] = _write_cache(new_v[src], v, pos, n_valid)
 
-        attn = _attention(q, new_k[src], new_v[src], pos=pos, hp=hp)
-        attn = matmul(layer.wo, attn)  # output projection [T, D]
+        attn = tap(f"kqv_out-{i}", attention(q, new_k[src], new_v[src], pos=pos, hp=hp))
+        attn = mm(layer.wo, attn)  # output projection [T, D]
         if layer.post_attn_norm is not None:
-            attn = _norm(attn, layer.post_attn_norm, hp.rms_eps)
-        x = x + attn
+            attn = tap(f"attn_post_norm-{i}", _norm(attn, layer.post_attn_norm, hp.rms_eps))
+        x = tap(f"sa_out-{i}", x + attn)
 
-        h2 = _norm(x, layer.ffn_norm, hp.rms_eps)
-        gate = matmul(layer.w_gate, h2)
-        up = matmul(layer.w_up, h2)
-        ffn = matmul(layer.w_down, gelu_tanh(gate) * up)
+        h2 = tap(f"ffn_norm-{i}", _norm(x, layer.ffn_norm, hp.rms_eps))
+        gate = tap(f"ffn_gate-{i}", mm(layer.w_gate, h2))
+        up = tap(f"ffn_up-{i}", mm(layer.w_up, h2))
+        ffn = mm(layer.w_down, tap(f"ffn_geglu-{i}", gelu_tanh(gate) * up))
+        ffn = tap(f"ffn_out-{i}", ffn)
         if layer.post_ffw_norm is not None:
-            ffn = _norm(ffn, layer.post_ffw_norm, hp.rms_eps)
+            ffn = tap(f"ffn_post_norm-{i}", _norm(ffn, layer.post_ffw_norm, hp.rms_eps))
         x = x + ffn
 
         if inp_per_layer is not None:
             # gemma4 per-layer-input epilogue (reference model.cpp:927-966).
-            gate_out = gelu_tanh(matmul(layer.per_layer_inp_gate, x))
+            gate_out = gelu_tanh(mm(layer.per_layer_inp_gate, x))
             gate_out = gate_out * inp_per_layer[:, i, :]
-            proj_out = matmul(layer.per_layer_proj, gate_out)
+            proj_out = mm(layer.per_layer_proj, gate_out)
             proj_out = rms_norm(proj_out, hp.rms_eps) * layer.per_layer_post_norm.astype(jnp.float32)
             x = x + proj_out
 
@@ -240,7 +324,7 @@ def forward(
     # (reference model.cpp:983-1034).
     last = jnp.take(x, n_valid - 1, axis=0)
     last = _norm(last, w.output_norm, hp.rms_eps)
-    logits = matmul(w.token_embd, last)
+    logits = mm(w.token_embd, last)
     logits = softcap(logits, hp.final_logit_softcap)
 
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v))

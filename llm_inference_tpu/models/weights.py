@@ -107,7 +107,22 @@ _LAYER_PARAMS = {
 }
 
 
-def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None) -> WeightTensor:
+def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed") -> WeightTensor:
+    if mode == "bf16":
+        # serve mode: dequantize once on the host, ship bf16 to HBM —
+        # one 2-byte stream per weight at matmul time, full MXU rate.
+        import jax
+
+        from ..quant import layouts
+        from ..quant.device import DenseTensor
+
+        w = layouts.dequantize(gguf.tensor_bytes(info), info.tensor_type, info.n_rows, info.n_cols)
+        arr = jnp.asarray(w, dtype=jnp.bfloat16)
+        if sharding is not None:
+            arr = jax.device_put(
+                arr, sharding.for_rank(arr.ndim) if hasattr(sharding, "for_rank") else sharding
+            )
+        return DenseTensor(w=arr, fmt=GGMLType.BF16, rows=info.n_rows, cols=info.n_cols)
     return from_gguf_bytes(
         gguf.tensor_bytes(info), info.tensor_type, info.n_rows, info.n_cols, sharding=sharding
     )
@@ -124,12 +139,17 @@ def load_weights(
     hparams: HParams | None = None,
     *,
     sharding_fn=None,
+    mode: str = "packed",
 ) -> tuple[HParams, ModelWeights]:
     """Map + repack every model tensor onto device.
 
     ``sharding_fn(tensor_name, info) -> jax.sharding.Sharding | None`` lets
     the parallel layer choose per-tensor shardings (tensor parallelism);
     default is single-device placement by jax.device_put.
+
+    ``mode``: "packed" keeps quantized weights as planar int8 + scales
+    (exact reference numerics, minimum HBM); "bf16" dequantizes at load
+    into bf16 (serve mode: fastest XLA matmul path).
     """
     hp = hparams or load_hparams(gguf.metadata)
     layers = [dict() for _ in range(hp.block_count)]
@@ -140,13 +160,13 @@ def load_weights(
         name = info.name
         shard = sharding_fn(name, info) if sharding_fn else None
         if name == "token_embd.weight":
-            token_embd = _load_w(gguf, info, shard)
+            token_embd = _load_w(gguf, info, shard, mode)
         elif name == "output_norm.weight":
             output_norm = _load_v(gguf, info)
         elif name in ("token_embd_per_layer.weight", "per_layer_token_embd.weight"):
-            token_embd_per_layer = _load_w(gguf, info, shard)
+            token_embd_per_layer = _load_w(gguf, info, shard, mode)
         elif name == "per_layer_model_proj.weight":
-            per_layer_model_proj = _load_w(gguf, info, shard)
+            per_layer_model_proj = _load_w(gguf, info, shard, mode)
         elif name == "per_layer_proj_norm.weight":
             per_layer_proj_norm = _load_v(gguf, info)
         elif name.startswith("blk."):
@@ -158,7 +178,7 @@ def load_weights(
             if entry is None:
                 continue  # unknown per-layer tensors are ignored, as in the reference
             field, kind = entry
-            layers[i][field] = _load_w(gguf, info, shard) if kind == "w" else _load_v(gguf, info)
+            layers[i][field] = _load_w(gguf, info, shard, mode) if kind == "w" else _load_v(gguf, info)
 
     if token_embd is None:
         raise ValueError("GGUF is missing token_embd.weight")

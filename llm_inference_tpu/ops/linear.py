@@ -38,17 +38,28 @@ def contract_activations(x: Array, act_quant: str) -> Array:
     return x.astype(jnp.float32)
 
 
-def matmul(w: WeightTensor, x: Array, *, apply_contract: bool = True) -> Array:
-    """y[..., r] = sum_c W[r, c] * x'[..., c] in f32.
+def matmul(w: WeightTensor, x: Array, *, exact: bool = True) -> Array:
+    """y[..., r] = sum_c W[r, c] * x'[..., c], f32 accumulation.
 
-    ``x`` is [..., cols]; returns [..., rows]. With ``apply_contract`` the
-    activation passes through the reference's per-format quantization
-    round-trip first (parity mode); without it, raw f32 (fast mode).
+    ``x`` is [..., cols]; returns [..., rows] f32.
+
+    exact (parity mode): the activation passes through the reference's
+    per-format quantization round-trip (ops/actquant.py) and the weight
+    dequantizes to its exact f32 values — the reference's numeric contract
+    as one MXU GEMM.
+
+    serve mode (exact=False): the native-dtype weight (bf16 after load-time
+    dequant, models/weights.py) multiplies the activation cast to the same
+    dtype — full MXU rate, one weight-byte stream, no contract round-trip.
     """
     if x.shape[-1] != w.cols:
         raise ValueError(f"matmul: x has {x.shape[-1]} features, weight expects {w.cols}")
-    xr = contract_activations(x, w.act_quant) if apply_contract else x.astype(jnp.float32)
-    wd = w.dequant(jnp.float32)
+    if exact:
+        xr = contract_activations(x, w.act_quant)
+        wd = w.dequant(jnp.float32)
+    else:
+        wd = w.w if isinstance(w, DenseTensor) else w.dequant(jnp.bfloat16)
+        xr = x.astype(wd.dtype)
     return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32)
 
 

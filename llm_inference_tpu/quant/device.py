@@ -183,7 +183,15 @@ def from_gguf_bytes(
     ``sharding`` (a jax.sharding.Sharding) wins over ``device``.
     """
     fmt = GGMLType(fmt)
-    put = lambda x: jax.device_put(x, sharding if sharding is not None else device)  # noqa: E731
+
+    def put(x):
+        x = jnp.asarray(x) if not isinstance(x, (np.ndarray, jnp.ndarray)) else x
+        target = sharding if sharding is not None else device
+        if target is None:
+            return jax.device_put(x)
+        if hasattr(target, "for_rank"):  # parallel.sharding._LeafSharding factory
+            return jax.device_put(x, target.for_rank(np.ndim(x)))
+        return jax.device_put(x, target)
     if fmt in _DENSE_DTYPE:
         w = layouts.dequantize(raw, fmt, rows, cols)
         return DenseTensor(w=put(jnp.asarray(w, dtype=_DENSE_DTYPE[fmt])), fmt=fmt, rows=rows, cols=cols)

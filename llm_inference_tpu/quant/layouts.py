@@ -292,7 +292,8 @@ def dequant_q6_k(raw: np.ndarray, n_rows: int, n_cols: int) -> np.ndarray:
     sc = f["scales"].astype(np.float32)  # [R, NB, 16] per 16-col group
     d = f["d"].astype(np.float32)[..., None, None]
     qg = q.reshape(q.shape[:-1] + (16, 16)).astype(np.float32)
-    out = d * sc[..., None] * qg
+    with np.errstate(invalid="ignore"):  # arbitrary bytes may hold inf/nan f16 scales
+        out = d * sc[..., None] * qg
     return out.reshape(n_rows, n_cols)
 
 

@@ -29,6 +29,10 @@ extern "C" {
 
 void oracle_init(int n_threads) { init_ops(n_threads); }
 
+// Toggle the reference's VERBOSE named-activation dump (tensor.h:22-85);
+// the parity harness captures stdout and parses it.
+void oracle_set_verbose(int v) { verbose_g = v != 0; }
+
 void* oracle_gguf_open(const uint8_t* data, size_t size) {
   try {
     return new GGUFFile(data, size);

@@ -1,0 +1,77 @@
+"""Activation-parity harness test: capture the reference engine's verbose
+named-tensor dump, run our forward with tracing, and assert the per-tensor
+checksums line up — the working C16-equivalent cross-engine harness."""
+
+import ctypes
+import os
+import sys
+import tempfile
+
+import pytest
+
+import jax.numpy as jnp
+
+from llm_inference_tpu import parity, trace
+from llm_inference_tpu.gguf import GGUFFile, GGMLType
+from llm_inference_tpu.models import forward, init_cache, load_weights
+
+from fixtures import build_gemma3_gguf, DEFAULT_VOCAB
+from oracle_harness import oracle_available
+
+
+def _capture_reference_dump(buf, tokens, pos=0):
+    from oracle_harness import OracleModel, get_oracle
+
+    lib = get_oracle()
+    lib.oracle_set_verbose.argtypes = [ctypes.c_int]
+    ref = OracleModel(buf)
+    lib.oracle_set_verbose(1)
+    with tempfile.NamedTemporaryFile(mode="w+") as tf:
+        saved = os.dup(1)
+        os.dup2(tf.fileno(), 1)
+        try:
+            ref.forward(tokens, pos, len(DEFAULT_VOCAB))
+        finally:
+            sys.stdout.flush()
+            os.dup2(saved, 1)
+            os.close(saved)
+        tf.seek(0)
+        text = tf.read()
+    lib.oracle_set_verbose(0)
+    ref.close()
+    return text
+
+
+def test_parse_reference_dump_shapes():
+    text = "foo-0 = {4, 2, 1, 1}\n      [   1.0000,    2.0000],\n    sum = 3.000000\n"
+    recs = parity.parse_reference_dump(text)
+    assert len(recs) == 1
+    assert recs[0].name == "foo-0"
+    assert recs[0].shape == (4, 2, 1, 1)
+    assert recs[0].total == pytest.approx(3.0)
+
+
+@pytest.mark.skipif(not oracle_available(), reason="reference oracle unavailable")
+def test_activation_checksums_match_reference():
+    buf = build_gemma3_gguf(n_layers=2, weight_fmt=GGMLType.Q4_0)
+    tokens = [2, 7, 8]
+
+    dump = _capture_reference_dump(buf, tokens)
+    ref_records = parity.parse_reference_dump(dump)
+    assert len(ref_records) > 20
+
+    g = GGUFFile(buf)
+    hp, w = load_weights(g)
+    session = trace.enable_trace("/tmp/llmi_trace_test.npz")
+    try:
+        cache = init_cache(hp, 32)
+        # eager forward: taps record synchronously in graph order
+        forward(hp, w, cache, jnp.asarray(tokens, dtype=jnp.int32), 0)
+    finally:
+        trace.disable_trace()
+
+    assert len(session.records) > 20
+    divergences = parity.compare_sums(ref_records, session.records, rel_tol=2e-3)
+    assert divergences == [], "\n".join(
+        f"{d.name}: ref={d.ref_sum} ours={d.our_sum} rel={d.rel_diff:.2e}" for d in divergences
+    )
