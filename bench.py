@@ -60,7 +60,8 @@ def main() -> None:
 
     from llm_inference_tpu.engine import Engine, GenerationStats
 
-    engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode="serve", decode_chunk=32)
+    mode = os.environ.get("LLMI_BENCH_MODE", "serve")
+    engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode=mode, decode_chunk=32)
     print(f"devices: {jax.devices()}", file=sys.stderr)
     # random weights can argmax onto <eos>; never stop early in the benchmark
     engine.tokenizer.eos_id = -1

@@ -74,20 +74,23 @@ class Engine:
         gguf: GGUFFile | str,
         *,
         max_seq: int = DEFAULT_MAX_SEQ,
-        mode: str = "serve",  # "serve" (bf16 MXU) | "parity" (reference contract)
+        mode: str = "serve",  # "serve" (bf16) | "serve-q" (packed+fused) | "parity"
         sharding_fn=None,
         cache_sharding=None,
         decode_chunk: int = DECODE_CHUNK,
     ):
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
-        if mode not in ("serve", "parity"):
+        if mode not in ("serve", "serve-q", "parity"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.gguf = gguf
         self.mode = mode
         exact = mode == "parity"
+        # serve:   dequantize to bf16 at load (pure-XLA fast path)
+        # serve-q: keep packed int8+scales; fused Pallas dequant-matmul on
+        #          decode (1 byte/weight of HBM traffic instead of 2)
         self.hparams, self.weights = load_weights(
-            gguf, sharding_fn=sharding_fn, mode="packed" if exact else "bf16"
+            gguf, sharding_fn=sharding_fn, mode="bf16" if mode == "serve" else "packed"
         )
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq

@@ -15,7 +15,6 @@ from typing import Any, Sequence, Union
 
 import numpy as np
 
-from ..quant.layouts import encode
 from .constants import GGUF_ALIGNMENT, GGUF_MAGIC, GGUF_VERSION, GGUFValueType, GGMLType
 
 

@@ -311,20 +311,23 @@ def forward(
 
         if inp_per_layer is not None:
             # gemma4 per-layer-input epilogue (reference model.cpp:927-966).
+            x = tap(f"pe_in-{i}", x)
             gate_out = gelu_tanh(mm(layer.per_layer_inp_gate, x))
             gate_out = gate_out * inp_per_layer[:, i, :]
             proj_out = mm(layer.per_layer_proj, gate_out)
             proj_out = rms_norm(proj_out, hp.rms_eps) * layer.per_layer_post_norm.astype(jnp.float32)
-            x = x + proj_out
+            x = tap(f"per_layer_embd_out-{i}", x + proj_out)
 
         if layer.out_scale is not None:
             x = x * layer.out_scale.reshape(())  # reference model.cpp:969-977
+            x = tap(f"out_scaled-{i}", x)
+        x = tap(f"l_out-{i}", x)
 
     # Final norm + tied-embedding logits for the LAST VALID token only
     # (reference model.cpp:983-1034).
     last = jnp.take(x, n_valid - 1, axis=0)
-    last = _norm(last, w.output_norm, hp.rms_eps)
+    last = tap("result_norm", _norm(last, w.output_norm, hp.rms_eps))
     logits = mm(w.token_embd, last)
-    logits = softcap(logits, hp.final_logit_softcap)
+    logits = tap("result_output", softcap(logits, hp.final_logit_softcap))
 
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v))

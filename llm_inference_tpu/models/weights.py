@@ -113,11 +113,17 @@ def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed
         # one 2-byte stream per weight at matmul time, full MXU rate.
         import jax
 
+        from .. import native
         from ..quant import layouts
         from ..quant.device import DenseTensor
 
-        w = layouts.dequantize(gguf.tensor_bytes(info), info.tensor_type, info.n_rows, info.n_cols)
-        arr = jnp.asarray(w, dtype=jnp.bfloat16)
+        raw = gguf.tensor_bytes(info)
+        words = native.dequant_bf16(raw, int(info.tensor_type), info.n_rows, info.n_cols)
+        if words is not None:
+            arr = jnp.asarray(words).view(jnp.bfloat16)
+        else:
+            w = layouts.dequantize(raw, info.tensor_type, info.n_rows, info.n_cols)
+            arr = jnp.asarray(w, dtype=jnp.bfloat16)
         if sharding is not None:
             arr = jax.device_put(
                 arr, sharding.for_rank(arr.ndim) if hasattr(sharding, "for_rank") else sharding

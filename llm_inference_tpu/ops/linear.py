@@ -19,7 +19,9 @@ reference-correct fallback and the single-dispatch point.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from ..quant.device import DenseTensor, QuantTensor, WeightTensor
@@ -57,9 +59,19 @@ def matmul(w: WeightTensor, x: Array, *, exact: bool = True) -> Array:
     if exact:
         xr = contract_activations(x, w.act_quant)
         wd = w.dequant(jnp.float32)
+        return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32)
+    if isinstance(w, QuantTensor):
+        from .pallas import quant_matmul, supports_pallas
+
+        t = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
+        if jax.default_backend() == "tpu" and supports_pallas(w, t):
+            x2 = x.reshape(t, w.cols)
+            y = quant_matmul(w, x2)
+            return y.reshape(x.shape[:-1] + (w.rows,))
+        wd = w.dequant(jnp.bfloat16)
     else:
-        wd = w.w if isinstance(w, DenseTensor) else w.dequant(jnp.bfloat16)
-        xr = x.astype(wd.dtype)
+        wd = w.w
+    xr = x.astype(wd.dtype)
     return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32)
 
 
@@ -70,7 +82,9 @@ def embed_rows(w: WeightTensor, token_ids: Array) -> Array:
     if isinstance(w, DenseTensor):
         return w.w[token_ids].astype(jnp.float32)
     assert isinstance(w, QuantTensor)
-    q = w.q[token_ids].astype(jnp.float32)  # [T, G, S]
+    strided = w.q[token_ids]  # [T, C] group-strided
+    S, G = w.group_size, w.groups
+    q = jnp.swapaxes(strided.reshape(token_ids.shape + (S, G)), -1, -2).astype(jnp.float32)
     s = w.scale[token_ids][..., None]
     rows = q * s
     if w.offset is not None:

@@ -58,9 +58,17 @@ ACT_QUANT = {
 )
 @dataclasses.dataclass
 class QuantTensor:
-    """Planar quantized 2-D weight, a pytree of device arrays."""
+    """Planar quantized 2-D weight, a pytree of device arrays.
 
-    q: Array  # int8 [rows, groups, group_size]
+    ``q`` is stored GROUP-STRIDED: device column ``s * groups + g`` holds
+    logical weight element ``g * group_size + s`` (group g, lane s). This
+    makes the per-group scale expansion inside the Pallas fused kernel a
+    single lane-tiling ``pltpu.repeat`` — Mosaic supports no other cheap
+    [rows, groups] -> [rows, cols] broadcast — while XLA-side consumers
+    undo the permutation with a free reshape+transpose.
+    """
+
+    q: Array  # int8 [rows, cols], group-strided (see above)
     scale: Array  # f32 [rows, groups]
     offset: Optional[Array]  # f32 [rows, groups] or None
     fmt: GGMLType
@@ -72,12 +80,27 @@ class QuantTensor:
     def act_quant(self) -> str:
         return ACT_QUANT[self.fmt]
 
+    @property
+    def groups(self) -> int:
+        return self.cols // self.group_size
+
+    def q_grouped(self) -> Array:
+        """Logical [rows, groups, group_size] view of the strided storage."""
+        return self.q.reshape(self.rows, self.group_size, self.groups).transpose(0, 2, 1)
+
     def dequant(self, dtype=jnp.float32) -> Array:
-        """In-graph dequantization to [rows, cols]."""
-        w = self.q.astype(jnp.float32) * self.scale[..., None]
+        """In-graph dequantization to [rows, cols] (logical column order)."""
+        w = self.q_grouped().astype(jnp.float32) * self.scale[..., None]
         if self.offset is not None:
             w = w - self.offset[..., None]
         return w.reshape(self.rows, self.cols).astype(dtype)
+
+    def stride_activations(self, x: Array) -> Array:
+        """Permute [..., cols] activations into this tensor's strided column
+        order so x' @ q^T contracts matching elements."""
+        shape = x.shape
+        xg = x.reshape(shape[:-1] + (self.groups, self.group_size))
+        return jnp.swapaxes(xg, -1, -2).reshape(shape)
 
 
 @partial(
@@ -160,6 +183,13 @@ _PLANAR = {
     GGMLType.Q6_K: _plan_q6_k,
 }
 
+
+def _native_repack(raw, fmt, rows, cols, group_size):
+    """Try the C++ repack path (llm_inference_tpu.native); None -> numpy."""
+    from .. import native
+
+    return native.repack(np.asarray(raw), int(fmt), rows, cols, group_size)
+
 _DENSE_DTYPE = {
     GGMLType.F16: jnp.float16,
     GGMLType.BF16: jnp.bfloat16,
@@ -198,7 +228,17 @@ def from_gguf_bytes(
     plan = _PLANAR.get(fmt)
     if plan is None:
         raise ValueError(f"unsupported weight encoding {fmt!r}")
-    q, scale, offset, gs = plan(raw, rows, cols)
+    gs = 16 if fmt == GGMLType.Q6_K else 32
+    native_out = _native_repack(raw, fmt, rows, cols, gs)
+    if native_out is not None:
+        q, scale, offset = native_out
+    else:
+        q, scale, offset, gs = plan(raw, rows, cols)
+    # group-strided 2-D storage: column s*G+g <- logical g*S+s (class docs)
+    groups = cols // gs
+    q = np.ascontiguousarray(
+        np.asarray(q).reshape(rows, groups, gs).transpose(0, 2, 1).reshape(rows, cols)
+    )
     return QuantTensor(
         q=put(jnp.asarray(q)),
         scale=put(jnp.asarray(scale)),

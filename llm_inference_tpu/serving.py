@@ -1,0 +1,202 @@
+"""Batched serving: slot-based continuous batching over a vmapped forward.
+
+The reference is strictly batch-1, one token per step (reference
+main.cpp:218-223). Production TPU serving wants the opposite: weights are
+read from HBM once per step regardless of batch, so decode throughput
+scales nearly linearly with concurrent requests until the MXU saturates.
+
+Design:
+  - ``max_batch`` slots, each a lane of stacked per-layer KV caches
+    [B, max_seq, heads, dim]. ``jax.vmap`` over the single-sequence
+    ``forward`` turns every weight matmul into one batched GEMM (the
+    weight operand is broadcast — XLA streams it once per step).
+  - Decode runs in on-device chunks (lax.scan inside vmap) exactly like
+    the single-stream engine; inactive slots park at pos=max_seq so their
+    cache writes drop (models/gemma.py masked scatter) and their outputs
+    are ignored on the host.
+  - Prefill is per-request (single-sequence jit, bucketed) and the
+    resulting cache is inserted into the slot lane between decode chunks —
+    iteration-level continuous batching: requests join and retire at chunk
+    boundaries without disturbing other lanes. A freed slot's stale cache
+    needs no scrubbing: the next occupant's causal mask only reaches
+    positions its own prefill rewrote.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import prefill_bucket
+from .gguf.reader import GGUFFile
+from .models.gemma import forward, init_cache
+from .models.weights import load_weights
+from .tokenizer import Tokenizer
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt_ids: list[int]
+    n_predict: int
+    out: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    on_token: Optional[Callable[[int], None]] = None
+    # runtime state
+    slot: int = -1
+    pos: int = 0
+    pending: int = -1  # sampled but not yet consumed token
+
+
+class BatchedServer:
+    def __init__(
+        self,
+        gguf: GGUFFile | str,
+        *,
+        max_seq: int = 2048,
+        max_batch: int = 8,
+        mode: str = "serve",
+        decode_chunk: int = 8,
+    ):
+        if isinstance(gguf, str):
+            gguf = GGUFFile(gguf)
+        self.mode = mode
+        exact = mode == "parity"
+        self.hparams, self.weights = load_weights(
+            gguf, mode="bf16" if mode == "serve" else "packed"
+        )
+        self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
+        self.max_seq = max_seq
+        self.max_batch = max_batch
+        self.decode_chunk = decode_chunk
+        hp = self.hparams
+
+        def _prefill(w, cache, tokens, pos, n_valid):
+            logits, cache = forward(hp, w, cache, tokens, pos, n_valid, exact=exact)
+            return jnp.argmax(logits).astype(jnp.int32), cache
+
+        def _chunk_one(w, cache, token, pos):
+            def body(carry, _):
+                c, tok, p = carry
+                logits, c = forward(hp, w, c, tok[None], p, exact=exact)
+                nxt = jnp.argmax(logits).astype(jnp.int32)
+                return (c, nxt, p + 1), nxt
+
+            (c, _, _), toks = jax.lax.scan(body, (cache, token, pos), None,
+                                           length=decode_chunk)
+            return toks, c
+
+        def _chunk_batched(w, caches, tokens, pos):
+            return jax.vmap(lambda c, t, p: _chunk_one(w, c, t, p))(caches, tokens, pos)
+
+        self._prefill = jax.jit(_prefill, donate_argnums=(1,))
+        self._chunk = jax.jit(_chunk_batched, donate_argnums=(1,))
+        self._insert = jax.jit(
+            lambda caches, one, b: jax.tree_util.tree_map(
+                lambda c, s: c.at[b].set(s), caches, one
+            ),
+            donate_argnums=(0,),
+        )
+
+        one = init_cache(hp, max_seq)
+        self._caches = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (max_batch,) + a.shape).copy(), one
+        )
+        self._free: list[int] = list(range(max_batch))
+        self._active: dict[int, Request] = {}
+        self._queue: list[Request] = []
+        self._uid = 0
+
+    # -- request lifecycle ----------------------------------------------------
+
+    def submit(self, prompt_ids: list[int], n_predict: int = 100,
+               on_token: Optional[Callable[[int], None]] = None) -> Request:
+        """Queue a request; it joins the batch at the next step()."""
+        self._uid += 1
+        req = Request(uid=self._uid, prompt_ids=list(prompt_ids),
+                      n_predict=n_predict, on_token=on_token)
+        self._queue.append(req)
+        return req
+
+    def _admit(self) -> None:
+        """Prefill queued requests into free slots (between decode chunks)."""
+        while self._queue and self._free:
+            req = self._queue.pop(0)
+            slot = self._free.pop(0)
+            bucket = prefill_bucket(len(req.prompt_ids))
+            padded = np.zeros(bucket, dtype=np.int32)
+            padded[: len(req.prompt_ids)] = req.prompt_ids
+            one = jax.tree_util.tree_map(lambda c: c[slot], self._caches)
+            tok, one = self._prefill(
+                self.weights, one, jnp.asarray(padded),
+                jnp.int32(0), jnp.int32(len(req.prompt_ids)),
+            )
+            self._caches = self._insert(self._caches, one, slot)
+            req.slot = slot
+            req.pos = len(req.prompt_ids)
+            req.pending = int(tok)
+            self._active[slot] = req
+
+    def _emit(self, req: Request, tid: int) -> bool:
+        """Record one token; True when the request just finished."""
+        if self.tokenizer.is_stop(tid) or len(req.out) >= req.n_predict:
+            req.done = True
+            return True
+        req.out.append(tid)
+        if req.on_token:
+            req.on_token(tid)
+        if len(req.out) >= req.n_predict:
+            req.done = True
+            return True
+        return False
+
+    # -- engine loop ------------------------------------------------------------
+
+    def step(self) -> int:
+        """One scheduler iteration: admit + one batched decode chunk.
+        Returns the number of requests still in flight."""
+        self._admit()
+        if not self._active:
+            return len(self._queue)
+
+        tokens = np.zeros(self.max_batch, dtype=np.int32)
+        pos = np.full(self.max_batch, self.max_seq, dtype=np.int32)  # parked
+        for slot, req in self._active.items():
+            tokens[slot] = req.pending
+            pos[slot] = req.pos
+
+        toks, self._caches = self._chunk(
+            self.weights, self._caches, jnp.asarray(tokens), jnp.asarray(pos)
+        )
+        toks = np.asarray(toks)  # [B, chunk]
+
+        finished = []
+        for slot, req in self._active.items():
+            if self._emit(req, req.pending):
+                finished.append(slot)
+                continue
+            req.pos += self.decode_chunk
+            stopped = False
+            for tid in toks[slot, :-1]:
+                if self._emit(req, int(tid)):
+                    finished.append(slot)
+                    stopped = True
+                    break
+            if not stopped:
+                req.pending = int(toks[slot, -1])
+        for slot in finished:
+            del self._active[slot]
+            self._free.append(slot)
+        return len(self._active) + len(self._queue)
+
+    def run(self, requests: list[tuple[list[int], int]]) -> list[list[int]]:
+        """Convenience: continuous-batch (prompt_ids, n_predict) pairs to
+        completion; returns generated ids per request, in submit order."""
+        reqs = [self.submit(ids, n) for ids, n in requests]
+        while self.step():
+            pass
+        return [r.out for r in reqs]

@@ -85,3 +85,86 @@ def build_gemma3_gguf(
             w.add_tensor(p + "post_ffw_norm.weight", rand(n_embd) + 1.0, GGMLType.F32)
 
     return w.build()
+
+
+GEMMA4_VOCAB = DEFAULT_VOCAB + ["<|turn>", "<turn|>", "<|channel>thought", "<channel|>"]
+
+
+def build_gemma4_gguf(
+    *,
+    n_layers: int = 4,
+    n_embd: int = 32,
+    n_ff: int = 64,
+    n_head: int = 2,
+    n_head_kv: int = 1,
+    n_embd_per_layer: int = 32,  # Q4_0 per_layer_proj needs cols % 32 == 0
+    shared_kv_layers: int = 1,
+    vocab: list[str] | None = None,
+    weight_fmt: GGMLType = GGMLType.Q4_0,
+    seed: int = 777,
+) -> bytes:
+    """Complete little gemma4 checkpoint: per-layer-input (AltUp) machinery,
+    shared trailing KV layers, out_scale, unweighted V-norm — the reference's
+    gemma4 path (reference model.cpp:568-704, 774-835, 927-977)."""
+    vocab = vocab if vocab is not None else GEMMA4_VOCAB
+    head_dim = n_embd // n_head
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "gemma4")
+    w.add_metadata("gemma4.block_count", n_layers)
+    w.add_metadata("gemma4.embedding_length", n_embd)
+    w.add_metadata("gemma4.feed_forward_length", n_ff)
+    w.add_metadata("gemma4.attention.head_count", n_head)
+    w.add_metadata("gemma4.attention.head_count_kv", n_head_kv)
+    w.add_metadata("gemma4.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_metadata("gemma4.rope.freq_base", 1000000.0)
+    w.add_metadata("gemma4.embedding_length_per_layer", n_embd_per_layer)
+    w.add_metadata("gemma4.attention.shared_kv_layers", shared_kv_layers)
+    w.add_metadata("tokenizer.ggml.tokens", vocab)
+    w.add_metadata("tokenizer.ggml.bos_token_id", 2)
+    w.add_metadata("tokenizer.ggml.eos_token_id", 1)
+    w.add_metadata("tokenizer.ggml.unk_token_id", 3)
+    w.add_metadata("tokenizer.ggml.add_bos_token", True)
+
+    w.add_tensor("token_embd.weight", rand(len(vocab), n_embd), GGMLType.F16)
+    w.add_tensor("output_norm.weight", rand(n_embd) + 1.0, GGMLType.F32)
+    # per-layer embeddings: row per token, n_layers * n_embd_per_layer wide
+    w.add_tensor(
+        "token_embd_per_layer.weight",
+        rand(len(vocab), n_layers * n_embd_per_layer),
+        GGMLType.F16,
+    )
+    w.add_tensor(
+        "per_layer_model_proj.weight",
+        rand(n_layers * n_embd_per_layer, n_embd),
+        weight_fmt,
+    )
+    w.add_tensor("per_layer_proj_norm.weight", rand(n_embd_per_layer) + 1.0, GGMLType.F32)
+
+    for i in range(n_layers):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", rand(n_embd) + 1.0, GGMLType.F32)
+        w.add_tensor(p + "attn_q_norm.weight", rand(head_dim) + 1.0, GGMLType.F32)
+        w.add_tensor(p + "attn_k_norm.weight", rand(head_dim) + 1.0, GGMLType.F32)
+        w.add_tensor(p + "attn_q.weight", rand(n_head * head_dim, n_embd), weight_fmt)
+        has_kv = i < n_layers - shared_kv_layers
+        if has_kv:
+            w.add_tensor(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd), weight_fmt)
+            w.add_tensor(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd), weight_fmt)
+        w.add_tensor(p + "attn_output.weight", rand(n_embd, n_head * head_dim), weight_fmt)
+        w.add_tensor(p + "ffn_norm.weight", rand(n_embd) + 1.0, GGMLType.F32)
+        w.add_tensor(p + "ffn_gate.weight", rand(n_ff, n_embd), weight_fmt)
+        w.add_tensor(p + "ffn_up.weight", rand(n_ff, n_embd), weight_fmt)
+        w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_ff), weight_fmt)
+        w.add_tensor(p + "post_attention_norm.weight", rand(n_embd) + 1.0, GGMLType.F32)
+        w.add_tensor(p + "post_ffw_norm.weight", rand(n_embd) + 1.0, GGMLType.F32)
+        w.add_tensor(p + "per_layer_inp_gate.weight", rand(n_embd_per_layer, n_embd), weight_fmt)
+        w.add_tensor(p + "per_layer_proj.weight", rand(n_embd, n_embd_per_layer), weight_fmt)
+        w.add_tensor(p + "per_layer_post_norm.weight", rand(n_embd) + 1.0, GGMLType.F32)
+        w.add_tensor(p + "out_scale.weight", np.asarray([0.9], dtype=np.float32), GGMLType.F32)
+
+    return w.build()

@@ -15,11 +15,11 @@ from llm_inference_tpu import parity, trace
 from llm_inference_tpu.gguf import GGUFFile, GGMLType
 from llm_inference_tpu.models import forward, init_cache, load_weights
 
-from fixtures import build_gemma3_gguf, DEFAULT_VOCAB
+from fixtures import build_gemma3_gguf, build_gemma4_gguf, DEFAULT_VOCAB, GEMMA4_VOCAB
 from oracle_harness import oracle_available
 
 
-def _capture_reference_dump(buf, tokens, pos=0):
+def _capture_reference_dump(buf, tokens, pos=0, vocab_size=None):
     from oracle_harness import OracleModel, get_oracle
 
     lib = get_oracle()
@@ -30,7 +30,7 @@ def _capture_reference_dump(buf, tokens, pos=0):
         saved = os.dup(1)
         os.dup2(tf.fileno(), 1)
         try:
-            ref.forward(tokens, pos, len(DEFAULT_VOCAB))
+            ref.forward(tokens, pos, vocab_size or len(DEFAULT_VOCAB))
         finally:
             sys.stdout.flush()
             os.dup2(saved, 1)
@@ -72,6 +72,35 @@ def test_activation_checksums_match_reference():
 
     assert len(session.records) > 20
     divergences = parity.compare_sums(ref_records, session.records, rel_tol=2e-3)
+    assert divergences == [], "\n".join(
+        f"{d.name}: ref={d.ref_sum} ours={d.our_sum} rel={d.rel_diff:.2e}" for d in divergences
+    )
+
+
+@pytest.mark.skipif(not oracle_available(), reason="reference oracle unavailable")
+def test_gemma4_activation_checksums_match_reference():
+    """The gemma4 path (per-layer inputs, shared KV, out_scale): every named
+    tensor through l_out of the last layer stays within the noise floor."""
+    buf = build_gemma4_gguf(n_layers=4, shared_kv_layers=1)
+    tokens = [2, 7, 8]
+
+    dump = _capture_reference_dump(buf, tokens, vocab_size=len(GEMMA4_VOCAB))
+    ref_records = parity.parse_reference_dump(dump)
+    assert any(r.name.startswith("per_layer_embd_out") for r in ref_records)
+
+    g = GGUFFile(buf)
+    hp, w = load_weights(g)
+    session = trace.enable_trace("/tmp/llmi_trace_g4.npz")
+    try:
+        cache = init_cache(hp, 32)
+        forward(hp, w, cache, jnp.asarray(tokens, dtype=jnp.int32), 0)
+    finally:
+        trace.disable_trace()
+
+    # per-layer tensors hold a tight bar; the final logits' noise behavior
+    # is asserted separately (test_gemma4.py golden-logit tolerances)
+    layer_records = [r for r in ref_records if not r.name.startswith("result_")]
+    divergences = parity.compare_sums(layer_records, session.records, rel_tol=1e-2)
     assert divergences == [], "\n".join(
         f"{d.name}: ref={d.ref_sum} ours={d.our_sum} rel={d.rel_diff:.2e}" for d in divergences
     )

@@ -1,0 +1,52 @@
+"""Continuous batching: batched decode must reproduce the single-stream
+engine token-for-token, across staggered joins and retirements."""
+
+import numpy as np
+import pytest
+
+from llm_inference_tpu.engine import Engine
+from llm_inference_tpu.gguf import GGUFFile
+from llm_inference_tpu.serving import BatchedServer
+
+from fixtures import build_gemma3_gguf
+
+
+@pytest.fixture(scope="module")
+def model_buf():
+    return build_gemma3_gguf(n_layers=2, seed=99)
+
+
+def _reference_outputs(model_buf, prompts, n_predict):
+    engine = Engine(GGUFFile(model_buf), max_seq=64, mode="parity", decode_chunk=4)
+    return [engine.generate_from_ids(p, n_predict=n) for p, n in zip(prompts, n_predict)]
+
+
+def test_batched_matches_single_stream(model_buf):
+    prompts = [[2, 7, 8], [2, 10, 11, 9], [2, 12]]
+    n_predict = [6, 5, 7]
+    want = _reference_outputs(model_buf, prompts, n_predict)
+
+    server = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=4,
+                           mode="parity", decode_chunk=4)
+    got = server.run(list(zip(prompts, n_predict)))
+    assert got == want
+
+
+def test_more_requests_than_slots(model_buf):
+    prompts = [[2, 7, 8], [2, 10, 11, 9], [2, 12], [2, 8, 8], [2, 9]]
+    n_predict = [4] * 5
+    want = _reference_outputs(model_buf, prompts, n_predict)
+
+    server = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=2,
+                           mode="parity", decode_chunk=4)
+    got = server.run(list(zip(prompts, n_predict)))
+    assert got == want
+
+
+def test_slot_reuse_is_clean(model_buf):
+    """A request that reuses a freed slot must be unaffected by stale cache."""
+    server = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=1,
+                           mode="parity", decode_chunk=4)
+    first = server.run([([2, 7, 8], 5)])[0]
+    second = server.run([([2, 7, 8], 5)])[0]
+    assert first == second
