@@ -103,6 +103,10 @@ class GGUFWriter:
             else:
                 gshape = tuple(int(d) for d in shape)
             flat2d = arr.reshape(-1, gshape[0]) if len(gshape) > 1 else arr.reshape(1, -1)
+            # lazy import: quant.layouts imports gguf.constants, so a
+            # top-level import here would make gguf <-> quant circular
+            from ..quant.layouts import encode
+
             payload = encode(flat2d, fmt).tobytes()
         self._tensors.append((name, gshape, fmt, payload))
         return self
