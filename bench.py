@@ -60,6 +60,10 @@ def main() -> None:
 
     from llm_inference_tpu.engine import Engine, GenerationStats
 
+    profile_dir = os.environ.get("LLMI_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     mode = os.environ.get("LLMI_BENCH_MODE", "serve")
     engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode=mode, decode_chunk=32)
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -81,6 +85,9 @@ def main() -> None:
 
     stats = GenerationStats()
     engine.generate_from_ids(prompt_ids, n_predict=DECODE_STEPS, stats=stats)
+    if profile_dir:
+        jax.profiler.stop_trace()
+
     tok_s = stats.decode_tok_per_s
     print(
         f"prefill {stats.prefill_seconds*1e3:.1f} ms, "

@@ -48,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
         from .trace import enable_trace
         enable_trace(args.trace)
 
-    engine = Engine(gguf, max_seq=args.max_seq)
+    # tracing needs the tappable unrolled parity path (reference numerics)
+    engine = Engine(gguf, max_seq=args.max_seq, mode="parity" if args.trace else "serve")
     tok = engine.tokenizer
 
     if args.verbose:
@@ -91,6 +92,16 @@ def main(argv: list[str] | None = None) -> int:
     print(f"\nGenerated {stats.generated_tokens} tokens in {wall:.3f} s "
           f"({stats.decode_tok_per_s:.2f} tok/s decode, "
           f"prefill {stats.prompt_tokens} tokens in {stats.prefill_seconds:.3f} s)")
+
+    if args.trace:
+        from .trace import current, disable_trace
+
+        session = current()
+        if session is not None:
+            session.save()
+            print(session.summary(), file=sys.stderr)
+            disable_trace()
+            print(f"activation trace written to {args.trace}", file=sys.stderr)
     return 0
 
 

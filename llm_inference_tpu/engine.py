@@ -22,6 +22,7 @@ Two numeric modes (models/gemma.py `exact`):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Callable, Optional
@@ -33,7 +34,8 @@ import numpy as np
 from .gguf.reader import GGUFFile
 from .models.gemma import KVCache, forward, init_cache
 from .models.hparams import HParams, load_hparams
-from .models.weights import ModelWeights, load_weights
+from .models.weights import ModelWeights, layers_stackable, load_weights, stack_layers
+from .sampling import SamplingConfig, sample
 from .tokenizer import Tokenizer
 
 DEFAULT_MAX_SEQ = 4096
@@ -78,6 +80,8 @@ class Engine:
         sharding_fn=None,
         cache_sharding=None,
         decode_chunk: int = DECODE_CHUNK,
+        sampling: SamplingConfig | None = None,
+        seed: int = 0,
     ):
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
@@ -89,25 +93,43 @@ class Engine:
         # serve:   dequantize to bf16 at load (pure-XLA fast path)
         # serve-q: keep packed int8+scales; fused Pallas dequant-matmul on
         #          decode (1 byte/weight of HBM traffic instead of 2)
+        load_mode = {"serve": "bf16", "serve-q": "packed-serve", "parity": "packed"}[mode]
         self.hparams, self.weights = load_weights(
-            gguf, sharding_fn=sharding_fn, mode="bf16" if mode == "serve" else "packed"
+            gguf, sharding_fn=sharding_fn, mode=load_mode
         )
+        # Homogeneous layer stacks can compile as one scanned body instead of
+        # n_layers unrolled copies (LLMI_SCAN_LAYERS=1). Opt-in: on v5e the
+        # scanned body compiles decode ~7x faster but blocks XLA's
+        # cross-layer scheduling (measured ~12% decode throughput loss).
+        want_scan = os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
+        self._stacked = (
+            want_scan and mode != "parity"
+            and layers_stackable(self.hparams, self.weights.layers)
+        )
+        if self._stacked:
+            self.weights = dataclasses.replace(
+                self.weights, layers=stack_layers(self.weights.layers)
+            )
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq
         self.decode_chunk = decode_chunk
         self._cache_sharding = cache_sharding
 
         hp = self.hparams
+        self.sampling = sampling or SamplingConfig()
+        self._base_key = jax.random.PRNGKey(seed)
+        cfg = self.sampling
 
-        def _prefill(w: ModelWeights, cache: KVCache, tokens, pos, n_valid):
+        def _prefill(w: ModelWeights, cache: KVCache, tokens, pos, n_valid, key):
             logits, cache = forward(hp, w, cache, tokens, pos, n_valid, exact=exact)
-            return jnp.argmax(logits).astype(jnp.int32), logits, cache
+            nxt = sample(logits, cfg, jax.random.fold_in(key, pos + n_valid))
+            return nxt, logits, cache
 
-        def _decode_chunk_fn(w: ModelWeights, cache: KVCache, token, pos):
+        def _decode_chunk_fn(w: ModelWeights, cache: KVCache, token, pos, key):
             def body(carry, _):
                 cache, tok, p = carry
                 logits, cache = forward(hp, w, cache, tok[None], p, exact=exact)
-                nxt = jnp.argmax(logits).astype(jnp.int32)
+                nxt = sample(logits, cfg, jax.random.fold_in(key, p + 1))
                 return (cache, nxt, p + 1), nxt
 
             (cache, tok, p), toks = jax.lax.scan(
@@ -120,7 +142,10 @@ class Engine:
         self._decode_chunk = jax.jit(_decode_chunk_fn, donate_argnums=(1,))
 
     def new_cache(self) -> KVCache:
-        return init_cache(self.hparams, self.max_seq, sharding=self._cache_sharding)
+        return init_cache(
+            self.hparams, self.max_seq,
+            sharding=self._cache_sharding, stacked=self._stacked,
+        )
 
     def generate(
         self,
@@ -159,7 +184,7 @@ class Engine:
         padded[: len(prompt_ids)] = prompt_ids
         next_tok, _, cache = self._prefill(
             self.weights, cache, jnp.asarray(padded),
-            jnp.int32(0), jnp.int32(len(prompt_ids)),
+            jnp.int32(0), jnp.int32(len(prompt_ids)), self._base_key,
         )
         first_id = int(next_tok)
         t1 = time.perf_counter()
@@ -177,7 +202,8 @@ class Engine:
                 break
             # device chunk: continues from `pending` at position `pos`
             toks, cache = self._decode_chunk(
-                self.weights, cache, jnp.asarray(pending, dtype=jnp.int32), jnp.int32(pos)
+                self.weights, cache, jnp.asarray(pending, dtype=jnp.int32), jnp.int32(pos),
+                self._base_key,
             )
             toks = np.asarray(toks)
             device_steps += self.decode_chunk

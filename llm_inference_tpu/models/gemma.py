@@ -58,8 +58,17 @@ class KVCache:
     v: tuple[Array, ...]
 
 
-def init_cache(hp: HParams, max_seq: int, *, sharding=None) -> KVCache:
-    """Allocate zeroed caches for every layer that owns KV storage."""
+def init_cache(hp: HParams, max_seq: int, *, sharding=None, stacked: bool = False) -> KVCache:
+    """Allocate zeroed caches for every layer that owns KV storage.
+
+    ``stacked=True`` returns single [n_layers, max_seq, heads, dim] arrays
+    (the scan-over-layers layout; requires uniform head dims)."""
+    if stacked:
+        k = jnp.zeros((hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_k), dtype=KV_DTYPE)
+        v = jnp.zeros((hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_v), dtype=KV_DTYPE)
+        if sharding is not None:
+            k, v = jax.device_put(k, sharding), jax.device_put(v, sharding)
+        return KVCache(k=k, v=v)
     ks, vs = [], []
     for i in range(hp.n_kv_layers):
         swa = hp.is_swa_layer(i)
@@ -254,6 +263,9 @@ def forward(
     n_valid = jnp.asarray(T if n_valid is None else n_valid, dtype=jnp.int32)
     pos = jnp.asarray(pos, dtype=jnp.int32)
 
+    if isinstance(w.layers, LayerWeights):  # stacked: scan-over-layers path
+        return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact)
+
     # Embedding gather + sqrt(n_embd) scale (reference model.cpp:710-712).
     x = tap("imp_embed", embed_rows(w.token_embd, tokens))  # [T, D] f32
     x = tap("inp_scaled", x * jnp.float32(math.sqrt(hp.embedding_length)))
@@ -331,3 +343,76 @@ def forward(
     logits = tap("result_output", softcap(logits, hp.final_logit_softcap))
 
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
+
+
+def _forward_scan(
+    hp: HParams,
+    w: ModelWeights,
+    cache: KVCache,
+    tokens: Array,
+    pos: Array,
+    n_valid: Array,
+    *,
+    exact: bool,
+) -> tuple[Array, KVCache]:
+    """Scan-over-layers forward for homogeneous stacked weights
+    (models/weights.py stack_layers). One compiled layer body instead of
+    n_layers unrolled copies — ~n_layers-fold faster compiles, identical
+    math. Requires every layer to own its KV and uniform head dims
+    (layers_stackable); heterogeneous models use the unrolled path."""
+    mm = partial(matmul, exact=exact)
+    T = tokens.shape[0]
+    L = hp.block_count
+
+    x = embed_rows(w.token_embd, tokens)  # [T, D] f32
+    x = x * jnp.float32(math.sqrt(hp.embedding_length))
+
+    rope_bases = jnp.asarray(
+        np.array([hp.rope_base_for_layer(i) for i in range(L)], dtype=np.float32)
+    )
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    pos_vec = pos + jnp.arange(T, dtype=jnp.int32)
+
+    def body(x, inputs):
+        lw, k_c, v_c, rope_base = inputs
+
+        h = _norm(x, lw.attn_norm, hp.rms_eps)
+        q = mm(lw.wq, h).reshape(T, hp.n_head, dk)
+        if lw.q_norm is not None:
+            q = _norm(q, lw.q_norm, hp.rms_eps)
+        q = rope(q, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale, pos=pos_vec)
+        q = q * jnp.float32(hp.f_attention_scale)
+
+        k = mm(lw.wk, h).reshape(T, hp.n_head_kv, dk)
+        if lw.k_norm is not None:
+            k = _norm(k, lw.k_norm, hp.rms_eps)
+        k = rope(k, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale, pos=pos_vec)
+        v = mm(lw.wv, h).reshape(T, hp.n_head_kv, dv)
+        if hp.architecture == "gemma4":
+            v = rms_norm(v, hp.rms_eps)
+        k_c = _write_cache(k_c, k, pos, n_valid)
+        v_c = _write_cache(v_c, v, pos, n_valid)
+
+        attn = _attention(q, k_c, v_c, pos=pos, hp=hp, exact=exact)
+        attn = mm(lw.wo, attn)
+        if lw.post_attn_norm is not None:
+            attn = _norm(attn, lw.post_attn_norm, hp.rms_eps)
+        x = x + attn
+
+        h2 = _norm(x, lw.ffn_norm, hp.rms_eps)
+        ffn = mm(lw.w_down, gelu_tanh(mm(lw.w_gate, h2)) * mm(lw.w_up, h2))
+        if lw.post_ffw_norm is not None:
+            ffn = _norm(ffn, lw.post_ffw_norm, hp.rms_eps)
+        x = x + ffn
+
+        if lw.out_scale is not None:
+            x = x * lw.out_scale.reshape(())
+        return x, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (w.layers, cache.k, cache.v, rope_bases))
+
+    last = jnp.take(x, n_valid - 1, axis=0)
+    last = _norm(last, w.output_norm, hp.rms_eps)
+    logits = mm(w.token_embd, last)
+    logits = softcap(logits, hp.final_logit_softcap)
+    return logits, KVCache(k=new_k, v=new_v)

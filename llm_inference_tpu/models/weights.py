@@ -24,7 +24,7 @@ from jax import Array
 
 from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFFile, TensorInfo
-from ..quant.device import WeightTensor, from_gguf_bytes
+from ..quant.device import DenseTensor, WeightTensor, from_gguf_bytes
 from .hparams import HParams, load_hparams
 
 _OPT = Optional
@@ -115,7 +115,6 @@ def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed
 
         from .. import native
         from ..quant import layouts
-        from ..quant.device import DenseTensor
 
         raw = gguf.tensor_bytes(info)
         words = native.dequant_bf16(raw, int(info.tensor_type), info.n_rows, info.n_cols)
@@ -129,9 +128,15 @@ def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed
                 arr, sharding.for_rank(arr.ndim) if hasattr(sharding, "for_rank") else sharding
             )
         return DenseTensor(w=arr, fmt=GGMLType.BF16, rows=info.n_rows, cols=info.n_cols)
-    return from_gguf_bytes(
+    w = from_gguf_bytes(
         gguf.tensor_bytes(info), info.tensor_type, info.n_rows, info.n_cols, sharding=sharding
     )
+    if mode == "packed-serve" and isinstance(w, DenseTensor) and w.w.dtype == jnp.float16:
+        # f16 matmuls are slow on the MXU; serve-q keeps quantized tensors
+        # packed but re-types dense (embedding) tensors to bf16.
+        w = DenseTensor(w=w.w.astype(jnp.bfloat16), fmt=GGMLType.BF16,
+                        rows=w.rows, cols=w.cols)
+    return w
 
 
 def _load_v(gguf: GGUFFile, info: TensorInfo) -> Array:
@@ -154,8 +159,9 @@ def load_weights(
     default is single-device placement by jax.device_put.
 
     ``mode``: "packed" keeps quantized weights as planar int8 + scales
-    (exact reference numerics, minimum HBM); "bf16" dequantizes at load
-    into bf16 (serve mode: fastest XLA matmul path).
+    (exact reference numerics, minimum HBM); "packed-serve" additionally
+    re-types dense f16 tensors to bf16 (MXU-native); "bf16" dequantizes
+    everything at load into bf16 (serve mode: fastest XLA matmul path).
     """
     hp = hparams or load_hparams(gguf.metadata)
     layers = [dict() for _ in range(hp.block_count)]
@@ -200,3 +206,39 @@ def load_weights(
         per_layer_proj_norm=per_layer_proj_norm,
     )
     return hp, model
+
+
+def layers_stackable(hp: HParams, layers: tuple[LayerWeights, ...]) -> bool:
+    """Can the layer stack be scanned? Requires homogeneous layers: every
+    layer owns its KV, identical tensor formats/shapes/field presence, and
+    uniform head dims across the SWA pattern."""
+    if hp.n_layer_kv_from_start >= 0:
+        return False  # shared-KV (gemma4) layers are heterogeneous
+    if hp.embedding_length_per_layer:
+        return False  # per-layer-input epilogue kept on the unrolled path
+    if hp.n_embd_head_k != hp.n_embd_head_k_swa or hp.n_embd_head_v != hp.n_embd_head_v_swa:
+        return False
+    if len(layers) < 2:
+        return False
+
+    def signature(lw: LayerWeights):
+        sig = []
+        for f in dataclasses.fields(lw):
+            v = getattr(lw, f.name)
+            if v is None:
+                sig.append((f.name, None))
+            else:
+                leaves = jax.tree_util.tree_leaves(v)
+                sig.append((f.name, tuple((x.shape, str(x.dtype)) for x in leaves)))
+        return tuple(sig)
+
+    first = signature(layers[0])
+    return all(signature(lw) == first for lw in layers[1:])
+
+
+def stack_layers(layers: tuple[LayerWeights, ...]) -> LayerWeights:
+    """Stack homogeneous per-layer weights into one LayerWeights whose array
+    leaves carry a leading [n_layers] axis — the operand of the
+    scan-over-layers forward (models/gemma.py). One extra device copy at
+    load time; steady-state HBM is unchanged."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)

@@ -25,6 +25,7 @@ Design:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Optional
 
 import jax
@@ -34,7 +35,7 @@ import numpy as np
 from .engine import prefill_bucket
 from .gguf.reader import GGUFFile
 from .models.gemma import forward, init_cache
-from .models.weights import load_weights
+from .models.weights import layers_stackable, load_weights, stack_layers
 from .tokenizer import Tokenizer
 
 
@@ -66,9 +67,17 @@ class BatchedServer:
             gguf = GGUFFile(gguf)
         self.mode = mode
         exact = mode == "parity"
-        self.hparams, self.weights = load_weights(
-            gguf, mode="bf16" if mode == "serve" else "packed"
+        load_mode = {"serve": "bf16", "serve-q": "packed-serve", "parity": "packed"}[mode]
+        self.hparams, self.weights = load_weights(gguf, mode=load_mode)
+        self._stacked = (
+            os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
+            and mode != "parity"
+            and layers_stackable(self.hparams, self.weights.layers)
         )
+        if self._stacked:
+            self.weights = dataclasses.replace(
+                self.weights, layers=stack_layers(self.weights.layers)
+            )
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq
         self.max_batch = max_batch
@@ -102,7 +111,7 @@ class BatchedServer:
             donate_argnums=(0,),
         )
 
-        one = init_cache(hp, max_seq)
+        one = init_cache(hp, max_seq, stacked=self._stacked)
         self._caches = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (max_batch,) + a.shape).copy(), one
         )
