@@ -34,7 +34,13 @@ import numpy as np
 from .gguf.reader import GGUFFile
 from .models.gemma import KVCache, forward, init_cache
 from .models.hparams import HParams, load_hparams
-from .models.weights import ModelWeights, layers_stackable, load_weights, stack_layers
+from .models.weights import (
+    ModelWeights,
+    fuse_projections,
+    layers_stackable,
+    load_weights,
+    stack_layers,
+)
 from .sampling import SamplingConfig, sample
 from .tokenizer import Tokenizer
 
@@ -97,6 +103,10 @@ class Engine:
         self.hparams, self.weights = load_weights(
             gguf, sharding_fn=sharding_fn, mode=load_mode
         )
+        if mode != "parity":
+            # fewer kernel launches per step; identical results (row concat
+            # commutes with the contraction). Parity keeps per-tensor taps.
+            self.weights = fuse_projections(self.weights)
         # Homogeneous layer stacks can compile as one scanned body instead of
         # n_layers unrolled copies (LLMI_SCAN_LAYERS=1). Opt-in: on v5e the
         # scanned body compiles decode ~7x faster but blocks XLA's

@@ -283,7 +283,16 @@ def forward(
 
         h = tap(f"attn_norm-{i}", _norm(x, layer.attn_norm, hp.rms_eps))  # [T, D]
 
-        q = tap(f"Qcur-{i}", mm(layer.wq, h)).reshape(T, hp.n_head, dk)
+        if layer.wqkv is not None:  # load-time fusion (fuse_projections)
+            rq, rk = hp.n_head * dk, hp.n_head_kv * dk
+            qkv = mm(layer.wqkv, h)
+            q_flat, k_flat, v_flat = (
+                qkv[:, :rq], qkv[:, rq : rq + rk], qkv[:, rq + rk :]
+            )
+        else:
+            q_flat = k_flat = v_flat = None
+
+        q = tap(f"Qcur-{i}", q_flat if q_flat is not None else mm(layer.wq, h)).reshape(T, hp.n_head, dk)
         if layer.q_norm is not None:
             q = tap(f"Qcur_normed-{i}", _norm(q, layer.q_norm, hp.rms_eps))
         q = rope(q, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale,
@@ -293,13 +302,13 @@ def forward(
 
         src = hp.kv_source_layer(i)
         if hp.layer_has_kv(i):
-            k = tap(f"Kcur-{i}", mm(layer.wk, h)).reshape(T, hp.n_head_kv, dk)
+            k = tap(f"Kcur-{i}", k_flat if k_flat is not None else mm(layer.wk, h)).reshape(T, hp.n_head_kv, dk)
             if layer.k_norm is not None:
                 k = tap(f"Kcur_normed-{i}", _norm(k, layer.k_norm, hp.rms_eps))
             k = rope(k, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale,
                      pos=pos + jnp.arange(T, dtype=jnp.int32))
             k = tap(f"Kcur-{i} (post rope)", k)
-            v = tap(f"Vcur-{i}", mm(layer.wv, h)).reshape(T, hp.n_head_kv, dv)
+            v = tap(f"Vcur-{i}", v_flat if v_flat is not None else mm(layer.wv, h)).reshape(T, hp.n_head_kv, dv)
             if hp.architecture == "gemma4":
                 # unweighted V norm (model.cpp:812-827)
                 v = tap(f"Vcur_normed-{i}", rms_norm(v, hp.rms_eps))
@@ -313,8 +322,13 @@ def forward(
         x = tap(f"sa_out-{i}", x + attn)
 
         h2 = tap(f"ffn_norm-{i}", _norm(x, layer.ffn_norm, hp.rms_eps))
-        gate = tap(f"ffn_gate-{i}", mm(layer.w_gate, h2))
-        up = tap(f"ffn_up-{i}", mm(layer.w_up, h2))
+        if layer.w_gate_up is not None:  # load-time fusion
+            gu = mm(layer.w_gate_up, h2)
+            n_ff = gu.shape[-1] // 2
+            gate, up = gu[:, :n_ff], gu[:, n_ff:]
+        else:
+            gate = tap(f"ffn_gate-{i}", mm(layer.w_gate, h2))
+            up = tap(f"ffn_up-{i}", mm(layer.w_up, h2))
         ffn = mm(layer.w_down, tap(f"ffn_geglu-{i}", gelu_tanh(gate) * up))
         ffn = tap(f"ffn_out-{i}", ffn)
         if layer.post_ffw_norm is not None:
@@ -377,17 +391,24 @@ def _forward_scan(
         lw, k_c, v_c, rope_base = inputs
 
         h = _norm(x, lw.attn_norm, hp.rms_eps)
-        q = mm(lw.wq, h).reshape(T, hp.n_head, dk)
+        if lw.wqkv is not None:  # load-time fusion (fuse_projections)
+            rq, rk = hp.n_head * dk, hp.n_head_kv * dk
+            qkv = mm(lw.wqkv, h)
+            q = qkv[:, :rq].reshape(T, hp.n_head, dk)
+            k = qkv[:, rq : rq + rk].reshape(T, hp.n_head_kv, dk)
+            v = qkv[:, rq + rk :].reshape(T, hp.n_head_kv, dv)
+        else:
+            q = mm(lw.wq, h).reshape(T, hp.n_head, dk)
+            k = mm(lw.wk, h).reshape(T, hp.n_head_kv, dk)
+            v = mm(lw.wv, h).reshape(T, hp.n_head_kv, dv)
         if lw.q_norm is not None:
             q = _norm(q, lw.q_norm, hp.rms_eps)
         q = rope(q, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale, pos=pos_vec)
         q = q * jnp.float32(hp.f_attention_scale)
 
-        k = mm(lw.wk, h).reshape(T, hp.n_head_kv, dk)
         if lw.k_norm is not None:
             k = _norm(k, lw.k_norm, hp.rms_eps)
         k = rope(k, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale, pos=pos_vec)
-        v = mm(lw.wv, h).reshape(T, hp.n_head_kv, dv)
         if hp.architecture == "gemma4":
             v = rms_norm(v, hp.rms_eps)
         k_c = _write_cache(k_c, k, pos, n_valid)
@@ -400,7 +421,12 @@ def _forward_scan(
         x = x + attn
 
         h2 = _norm(x, lw.ffn_norm, hp.rms_eps)
-        ffn = mm(lw.w_down, gelu_tanh(mm(lw.w_gate, h2)) * mm(lw.w_up, h2))
+        if lw.w_gate_up is not None:
+            gu = mm(lw.w_gate_up, h2)
+            n_ff = gu.shape[-1] // 2
+            ffn = mm(lw.w_down, gelu_tanh(gu[:, :n_ff]) * gu[:, n_ff:])
+        else:
+            ffn = mm(lw.w_down, gelu_tanh(mm(lw.w_gate, h2)) * mm(lw.w_up, h2))
         if lw.post_ffw_norm is not None:
             ffn = _norm(ffn, lw.post_ffw_norm, hp.rms_eps)
         x = x + ffn

@@ -35,6 +35,7 @@ _LAYER_DATA = [
     "attn_norm", "wq", "wk", "wv", "wo", "q_norm", "k_norm",
     "post_attn_norm", "ffn_norm", "w_gate", "w_up", "w_down", "post_ffw_norm",
     "per_layer_inp_gate", "per_layer_proj", "per_layer_post_norm", "out_scale",
+    "wqkv", "w_gate_up",  # load-time fusions (fuse_projections)
 ]
 
 
@@ -59,6 +60,10 @@ class LayerWeights:
     per_layer_proj: _W = None
     per_layer_post_norm: _V = None
     out_scale: _V = None  # scalar
+    # load-time row-concatenated fusions (fuse_projections); when set, the
+    # corresponding unfused fields are None
+    wqkv: _W = None
+    w_gate_up: _W = None
 
 
 _MODEL_DATA = [
@@ -242,3 +247,58 @@ def stack_layers(layers: tuple[LayerWeights, ...]) -> LayerWeights:
     scan-over-layers forward (models/gemma.py). One extra device copy at
     load time; steady-state HBM is unchanged."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _concat_weights(parts: list) -> WeightTensor:
+    """Concatenate row-parallel weights sharing cols/format into one tensor
+    (exact: y rows are simply stacked, the contraction is unchanged)."""
+    from ..quant.device import QuantTensor
+
+    first = parts[0]
+    rows = sum(p.rows for p in parts)
+    if isinstance(first, DenseTensor):
+        return DenseTensor(
+            w=jnp.concatenate([p.w for p in parts], axis=0),
+            fmt=first.fmt, rows=rows, cols=first.cols,
+        )
+    assert isinstance(first, QuantTensor)
+    offset = None
+    if any(p.offset is not None for p in parts):
+        offset = jnp.concatenate(
+            [p.offset if p.offset is not None else jnp.zeros_like(p.scale) for p in parts],
+            axis=0,
+        )
+    return QuantTensor(
+        q=jnp.concatenate([p.q for p in parts], axis=0),
+        scale=jnp.concatenate([p.scale for p in parts], axis=0),
+        offset=offset,
+        fmt=first.fmt, rows=rows, cols=first.cols, group_size=first.group_size,
+    )
+
+
+def _fusable(parts: list) -> bool:
+    if any(p is None for p in parts):
+        return False
+    first = parts[0]
+    if not all(type(p) is type(first) and p.cols == first.cols and p.fmt == first.fmt
+               for p in parts):
+        return False
+    return True
+
+
+def fuse_projections(model: ModelWeights) -> ModelWeights:
+    """Fuse each layer's Q/K/V and FFN gate/up projections into single
+    matmuls (TPU: fewer kernel launches per decode step; results identical
+    because row-concatenation commutes with the contraction). Layers whose
+    parts differ in format/cols are left as-is."""
+    new_layers = []
+    for lw in model.layers:
+        lw = dataclasses.replace(lw)
+        if _fusable([lw.wq, lw.wk, lw.wv]):
+            lw.wqkv = _concat_weights([lw.wq, lw.wk, lw.wv])
+            lw.wq = lw.wk = lw.wv = None
+        if _fusable([lw.w_gate, lw.w_up]):
+            lw.w_gate_up = _concat_weights([lw.w_gate, lw.w_up])
+            lw.w_gate = lw.w_up = None
+        new_layers.append(lw)
+    return dataclasses.replace(model, layers=tuple(new_layers))

@@ -35,7 +35,7 @@ import numpy as np
 from .engine import prefill_bucket
 from .gguf.reader import GGUFFile
 from .models.gemma import forward, init_cache
-from .models.weights import layers_stackable, load_weights, stack_layers
+from .models.weights import fuse_projections, layers_stackable, load_weights, stack_layers
 from .tokenizer import Tokenizer
 
 
@@ -69,6 +69,8 @@ class BatchedServer:
         exact = mode == "parity"
         load_mode = {"serve": "bf16", "serve-q": "packed-serve", "parity": "packed"}[mode]
         self.hparams, self.weights = load_weights(gguf, mode=load_mode)
+        if mode != "parity":
+            self.weights = fuse_projections(self.weights)
         self._stacked = (
             os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
             and mode != "parity"

@@ -1,0 +1,45 @@
+"""Load-time projection fusion (QKV, gate+up) must be exactly equivalent."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from llm_inference_tpu.gguf import GGUFFile, GGMLType
+from llm_inference_tpu.models import forward, init_cache, load_weights
+from llm_inference_tpu.models.weights import fuse_projections
+from llm_inference_tpu.sampling import SamplingConfig, sample
+
+from fixtures import build_gemma3_gguf
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_0, GGMLType.Q4_K])
+def test_fused_forward_identical(fmt, rng):
+    n = 256 if fmt == GGMLType.Q4_K else 32
+    buf = build_gemma3_gguf(n_layers=2, n_embd=n, n_ff=2 * n, weight_fmt=fmt)
+    g = GGUFFile(buf)
+    hp, w = load_weights(g)
+    w_fused = fuse_projections(w)
+    assert w_fused.layers[0].wqkv is not None
+    assert w_fused.layers[0].w_gate_up is not None
+    assert w_fused.layers[0].wq is None
+
+    fwd = jax.jit(partial(forward, hp))
+    tokens = jnp.asarray([2, 7, 8], dtype=jnp.int32)
+    la, _ = fwd(w, init_cache(hp, 32), tokens, 0)
+    lb, _ = fwd(w_fused, init_cache(hp, 32), tokens, 0)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_sampling_greedy_and_stochastic():
+    logits = jnp.asarray([0.1, 5.0, -1.0, 4.9], dtype=jnp.float32)
+    assert int(sample(logits, SamplingConfig())) == 1
+    key = jax.random.PRNGKey(0)
+    cfg = SamplingConfig(temperature=0.7, top_k=2)
+    tid = int(sample(logits, cfg, key))
+    assert tid in (1, 3)  # top-2 only
+    cfg_p = SamplingConfig(temperature=1.0, top_p=0.5)
+    tid = int(sample(logits, cfg_p, key))
+    assert tid == 1  # p(1) ~ 0.52 covers the 0.5 nucleus alone

@@ -51,10 +51,11 @@ def test_scan_matches_unrolled(exact):
     np.testing.assert_allclose(np.asarray(lu2), np.asarray(ls2), atol=1e-5)
 
 
-def test_engine_uses_scan_path():
+def test_engine_uses_scan_path(monkeypatch):
     from llm_inference_tpu.engine import Engine
 
     buf = build_gemma3_gguf(n_layers=3, seed=5)
+    monkeypatch.setenv("LLMI_SCAN_LAYERS", "1")
     serve = Engine(GGUFFile(buf), max_seq=64, mode="serve", decode_chunk=4)
     assert serve._stacked
     parity = Engine(GGUFFile(buf), max_seq=64, mode="parity", decode_chunk=4)
@@ -62,3 +63,7 @@ def test_engine_uses_scan_path():
 
     out = serve.generate_from_ids([2, 7, 8], n_predict=4)
     assert all(isinstance(t, int) for t in out)
+
+    monkeypatch.setenv("LLMI_SCAN_LAYERS", "0")
+    default = Engine(GGUFFile(buf), max_seq=64, mode="serve", decode_chunk=4)
+    assert not default._stacked  # scan is opt-in
