@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     wall = time.perf_counter() - t0
 
+    if args.verbose and stats.first_logits is not None:
+        # top-10 first-step logits (reference main.cpp:175-190)
+        import numpy as np
+
+        order = np.argsort(stats.first_logits)[::-1][:10]
+        print("\nTop 10 most likely tokens:", file=sys.stderr)
+        for tid in order:
+            print(f"{tok.piece(int(tid))}: {stats.first_logits[tid]:.4f} {int(tid)}",
+                  file=sys.stderr)
+
     if state["thinking"]:
         print(RESET, end="")
     print()

@@ -64,6 +64,7 @@ class GenerationStats:
     prefill_seconds: float = 0.0
     decode_seconds: float = 0.0
     decode_steps: int = 0  # device steps executed (>= generated_tokens)
+    first_logits: Optional[np.ndarray] = None  # captured for -v top-10 dump
 
     @property
     def decode_tok_per_s(self) -> float:
@@ -192,11 +193,13 @@ class Engine:
         bucket = prefill_bucket(len(prompt_ids))
         padded = np.zeros(bucket, dtype=np.int32)
         padded[: len(prompt_ids)] = prompt_ids
-        next_tok, _, cache = self._prefill(
+        next_tok, first_logits, cache = self._prefill(
             self.weights, cache, jnp.asarray(padded),
             jnp.int32(0), jnp.int32(len(prompt_ids)), self._base_key,
         )
         first_id = int(next_tok)
+        if stats is not None:
+            stats.first_logits = np.asarray(first_logits)
         t1 = time.perf_counter()
 
         out: list[int] = []
