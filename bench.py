@@ -64,7 +64,10 @@ def main() -> None:
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    mode = os.environ.get("LLMI_BENCH_MODE", "serve")
+    mode = os.environ.get("LLMI_BENCH_MODE", "serve-q8")
+    batch = int(os.environ.get("LLMI_BENCH_BATCH", "0"))
+    if batch:
+        return bench_batched(mode, batch)
     engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode=mode, decode_chunk=32)
     print(f"devices: {jax.devices()}", file=sys.stderr)
     # random weights can argmax onto <eos>; never stop early in the benchmark
@@ -98,6 +101,44 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "decode_tok_s_gemma3_1b_q4_0",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+            }
+        )
+    )
+
+
+def bench_batched(mode: str, batch: int) -> None:
+    """Aggregate decode throughput with `batch` concurrent requests
+    (continuous batching, serving.py)."""
+    import numpy as np
+
+    from llm_inference_tpu.serving import BatchedServer
+
+    server = BatchedServer(str(CACHE), max_seq=MAX_SEQ, max_batch=batch,
+                           mode=mode, decode_chunk=16)
+    server.tokenizer.eos_id = -1
+    server.tokenizer.end_of_turn_id = -1
+    rng = np.random.default_rng(0)
+
+    def reqs(n_predict):
+        return [
+            ([2] + rng.integers(10, 10000, size=PREFILL_LEN - 1).tolist(), n_predict)
+            for _ in range(batch)
+        ]
+
+    server.run(reqs(8))  # warmup/compile
+    t0 = time.time()
+    outs = server.run(reqs(DECODE_STEPS))
+    dt = time.time() - t0
+    total = sum(len(o) for o in outs)
+    tok_s = total / dt
+    print(f"batch={batch}: {total} tokens in {dt:.3f}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": f"decode_tok_s_gemma3_1b_q4_0_batch{batch}",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),

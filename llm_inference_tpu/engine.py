@@ -83,7 +83,7 @@ class Engine:
         gguf: GGUFFile | str,
         *,
         max_seq: int = DEFAULT_MAX_SEQ,
-        mode: str = "serve",  # "serve" (bf16) | "serve-q" (packed+fused) | "parity"
+        mode: str = "serve",  # "serve" | "serve-q" | "serve-q8" | "parity"
         sharding_fn=None,
         cache_sharding=None,
         decode_chunk: int = DECODE_CHUNK,
@@ -92,7 +92,7 @@ class Engine:
     ):
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
-        if mode not in ("serve", "serve-q", "parity"):
+        if mode not in ("serve", "serve-q", "serve-q8", "parity"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.gguf = gguf
         self.mode = mode
@@ -100,7 +100,12 @@ class Engine:
         # serve:   dequantize to bf16 at load (pure-XLA fast path)
         # serve-q: keep packed int8+scales; fused Pallas dequant-matmul on
         #          decode (1 byte/weight of HBM traffic instead of 2)
-        load_mode = {"serve": "bf16", "serve-q": "packed-serve", "parity": "packed"}[mode]
+        load_mode = {
+            "serve": "bf16",           # dequantized bf16, pure-XLA MXU path
+            "serve-q": "packed-serve",  # packed int8+group scales, fused kernel
+            "serve-q8": "rowq8",        # per-row int8 requant, fastest kernel
+            "parity": "packed",
+        }[mode]
         self.hparams, self.weights = load_weights(
             gguf, sharding_fn=sharding_fn, mode=load_mode
         )

@@ -113,6 +113,18 @@ _LAYER_PARAMS = {
 
 
 def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed") -> WeightTensor:
+    if mode == "rowq8":
+        if info.name.startswith("blk."):
+            # serve-q8: per-layer matmul weights become per-row int8 for the
+            # output-scaled fused kernel. The embedding table stays bf16: its
+            # tied-logits matmul (262k rows) runs faster as one XLA bf16 GEMM
+            # than as a 100+-step Pallas grid (measured on v5e).
+            from ..quant.device import requantize_rowwise
+
+            return requantize_rowwise(
+                info.tensor_type, gguf.tensor_bytes(info), info.n_rows, info.n_cols
+            )
+        mode = "bf16"
     if mode == "bf16":
         # serve mode: dequantize once on the host, ship bf16 to HBM —
         # one 2-byte stream per weight at matmul time, full MXU rate.
@@ -137,8 +149,8 @@ def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed
         gguf.tensor_bytes(info), info.tensor_type, info.n_rows, info.n_cols, sharding=sharding
     )
     if mode == "packed-serve" and isinstance(w, DenseTensor) and w.w.dtype == jnp.float16:
-        # f16 matmuls are slow on the MXU; serve-q keeps quantized tensors
-        # packed but re-types dense (embedding) tensors to bf16.
+        # f16 matmuls are slow on the MXU; serve modes keep quantized
+        # tensors packed but re-type dense (embedding) tensors to bf16.
         w = DenseTensor(w=w.w.astype(jnp.bfloat16), fmt=GGMLType.BF16,
                         rows=w.rows, cols=w.cols)
     return w

@@ -62,7 +62,7 @@ def supports_pallas(qt: QuantTensor, t: int) -> bool:
     return vmem < 12 * 1024 * 1024
 
 
-def _make_kernel(group_size: int, has_offset: bool):
+def _make_kernel(group_size: int, has_offset: bool, rowwise: bool):
     def kernel(x_ref, q_ref, s_ref, *rest):
         if has_offset:
             off_ref, o_ref = rest
@@ -72,6 +72,16 @@ def _make_kernel(group_size: int, has_offset: bool):
         # group scales are serve-mode precision; halves VPU work and runs
         # the MXU at full bf16 rate with f32 accumulation.
         w = q_ref[:].astype(jnp.bfloat16)  # [TILE_R, C] group-strided
+        if rowwise:
+            # one group per row (requantize_rowwise): scale the small
+            # [T, TILE_R] OUTPUT instead of expanding across C columns
+            y = jax.lax.dot_general(
+                x_ref[:].astype(jnp.bfloat16), w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[:] = y * s_ref[:, 0][None, :]
+            return
         w = w * pltpu.repeat(s_ref[:], group_size, axis=1).astype(jnp.bfloat16)
         if has_offset:
             w = w - pltpu.repeat(off_ref[:], group_size, axis=1).astype(jnp.bfloat16)
@@ -102,7 +112,7 @@ def _run(x, q, scale, offset, *, group_size, interpret=False):
         args.append(offset)
 
     return pl.pallas_call(
-        _make_kernel(group_size, offset is not None),
+        _make_kernel(group_size, offset is not None, rowwise=(G == 1)),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((T, tile), lambda i: (0, i), memory_space=pltpu.VMEM),

@@ -248,3 +248,37 @@ def from_gguf_bytes(
         cols=cols,
         group_size=gs,
     )
+
+
+def requantize_rowwise(fmt: GGMLType, raw: np.ndarray, rows: int, cols: int) -> QuantTensor:
+    """Requantize any GGUF weight to per-ROW int8 (W8 per-channel, the
+    standard weight-only int8 scheme): W[r, c] ~= row_scale[r] * q8[r, c].
+
+    Serve-path representation for the fastest fused kernel: with one group
+    per row the kernel applies scales to the [T, rows] OUTPUT instead of
+    expanding them across all columns in VMEM (ops/pallas/qmatmul.py).
+    Adds a bounded requantization error (<= 0.4% of each row's max) on top
+    of the checkpoint's own quantization — a serve-mode trade, never used
+    in parity mode.
+    """
+    from .. import native
+
+    # native bf16 dequant is ~10x the numpy block decoders on big tensors;
+    # the bf16 rounding detour is far inside the int8 requant error budget
+    words = native.dequant_bf16(np.asarray(raw), int(fmt), rows, cols)
+    if words is not None:
+        w = (words.astype(np.uint32) << 16).view(np.float32)
+    else:
+        w = layouts.dequantize(raw, fmt, rows, cols)  # exact f32
+    amax = np.abs(w).max(axis=1)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q8 = np.clip(np.rint(w / scale[:, None]), -127, 127).astype(np.int8)
+    return QuantTensor(
+        q=jax.device_put(jnp.asarray(q8)),
+        scale=jax.device_put(jnp.asarray(scale[:, None])),
+        offset=None,
+        fmt=GGMLType(fmt),
+        rows=rows,
+        cols=cols,
+        group_size=cols,  # one group per row => strided layout is identity
+    )

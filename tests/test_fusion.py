@@ -43,3 +43,28 @@ def test_sampling_greedy_and_stochastic():
     cfg_p = SamplingConfig(temperature=1.0, top_p=0.5)
     tid = int(sample(logits, cfg_p, key))
     assert tid == 1  # p(1) ~ 0.52 covers the 0.5 nucleus alone
+
+
+def test_rowwise_requant_close(rng):
+    """serve-q8's per-row int8 requant: bounded error vs exact dequant."""
+    from llm_inference_tpu.quant import layouts
+    from llm_inference_tpu.quant.device import from_gguf_bytes, requantize_rowwise
+    from llm_inference_tpu.ops.pallas import quant_matmul
+
+    rows, cols = 64, 512
+    w = (rng.standard_normal((rows, cols)) * 0.3).astype(np.float32)
+    raw = layouts.encode(w, GGMLType.Q4_0)
+    qt = from_gguf_bytes(raw, GGMLType.Q4_0, rows, cols)
+    q8 = requantize_rowwise(GGMLType.Q4_0, raw, rows, cols)
+    assert q8.group_size == cols and q8.groups == 1
+
+    exact = np.asarray(qt.dequant())
+    approx = np.asarray(q8.dequant())
+    err = np.abs(approx - exact).max(axis=1) / (np.abs(exact).max(axis=1) + 1e-9)
+    assert err.max() < 0.01  # <= 1/127 of each row's max
+
+    x = jnp.asarray(rng.standard_normal((2, cols)).astype(np.float32))
+    golden = np.asarray(jnp.matmul(x, jnp.asarray(approx).T))
+    got = np.asarray(quant_matmul(q8, x, interpret=True))
+    scale = np.abs(golden).max() + 1e-6
+    np.testing.assert_allclose(got, golden, atol=2e-2 * scale)
