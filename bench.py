@@ -56,6 +56,14 @@ def main() -> None:
         print(f"built synthetic checkpoint in {time.time()-t0:.1f}s -> {CACHE}", file=sys.stderr)
 
     import jax
+
+    # persistent jit cache: repeat bench runs skip the 1-2 min compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/llmi_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import numpy as np
 
     from llm_inference_tpu.engine import Engine, GenerationStats

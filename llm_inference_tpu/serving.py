@@ -86,9 +86,14 @@ class BatchedServer:
         self.decode_chunk = decode_chunk
         hp = self.hparams
 
-        def _prefill(w, cache, tokens, pos, n_valid):
-            logits, cache = forward(hp, w, cache, tokens, pos, n_valid, exact=exact)
-            return jnp.argmax(logits).astype(jnp.int32), cache
+        def _prefill_slot(w, caches, slot, tokens, pos, n_valid):
+            # slice -> forward -> write-back inside ONE jit: XLA fuses the
+            # slot gather/scatter into in-place dynamic slices instead of
+            # 2 x n_layers eager device round-trips.
+            one = jax.tree_util.tree_map(lambda c: c[slot], caches)
+            logits, one = forward(hp, w, one, tokens, pos, n_valid, exact=exact)
+            caches = jax.tree_util.tree_map(lambda c, s: c.at[slot].set(s), caches, one)
+            return jnp.argmax(logits).astype(jnp.int32), caches
 
         def _chunk_one(w, cache, token, pos):
             def body(carry, _):
@@ -104,14 +109,8 @@ class BatchedServer:
         def _chunk_batched(w, caches, tokens, pos):
             return jax.vmap(lambda c, t, p: _chunk_one(w, c, t, p))(caches, tokens, pos)
 
-        self._prefill = jax.jit(_prefill, donate_argnums=(1,))
+        self._prefill = jax.jit(_prefill_slot, donate_argnums=(1,))
         self._chunk = jax.jit(_chunk_batched, donate_argnums=(1,))
-        self._insert = jax.jit(
-            lambda caches, one, b: jax.tree_util.tree_map(
-                lambda c, s: c.at[b].set(s), caches, one
-            ),
-            donate_argnums=(0,),
-        )
 
         one = init_cache(hp, max_seq, stacked=self._stacked)
         self._caches = jax.tree_util.tree_map(
@@ -141,12 +140,10 @@ class BatchedServer:
             bucket = prefill_bucket(len(req.prompt_ids))
             padded = np.zeros(bucket, dtype=np.int32)
             padded[: len(req.prompt_ids)] = req.prompt_ids
-            one = jax.tree_util.tree_map(lambda c: c[slot], self._caches)
-            tok, one = self._prefill(
-                self.weights, one, jnp.asarray(padded),
+            tok, self._caches = self._prefill(
+                self.weights, self._caches, jnp.int32(slot), jnp.asarray(padded),
                 jnp.int32(0), jnp.int32(len(req.prompt_ids)),
             )
-            self._caches = self._insert(self._caches, one, slot)
             req.slot = slot
             req.pos = len(req.prompt_ids)
             req.pending = int(tok)
