@@ -24,7 +24,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from functools import partial
+
 from typing import Callable, Optional
 
 import jax
@@ -33,7 +33,7 @@ import numpy as np
 
 from .gguf.reader import GGUFFile
 from .models.gemma import KVCache, forward, init_cache
-from .models.hparams import HParams, load_hparams
+from .models.hparams import HParams
 from .models.weights import (
     ModelWeights,
     fuse_projections,
