@@ -158,9 +158,12 @@ class Engine:
         self._decode_chunk = jax.jit(_decode_chunk_fn, donate_argnums=(1,))
 
     def new_cache(self) -> KVCache:
+        # serve caches are bf16 (Mosaic-native for flash decode); parity
+        # keeps the reference's exact f16 stores (model.cpp:442-459)
+        dtype = jnp.float16 if self.mode == "parity" else jnp.bfloat16
         return init_cache(
             self.hparams, self.max_seq,
-            sharding=self._cache_sharding, stacked=self._stacked,
+            sharding=self._cache_sharding, stacked=self._stacked, dtype=dtype,
         )
 
     def generate(

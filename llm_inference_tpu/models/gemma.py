@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -58,14 +59,19 @@ class KVCache:
     v: tuple[Array, ...]
 
 
-def init_cache(hp: HParams, max_seq: int, *, sharding=None, stacked: bool = False) -> KVCache:
+def init_cache(hp: HParams, max_seq: int, *, sharding=None, stacked: bool = False,
+               dtype=KV_DTYPE) -> KVCache:
     """Allocate zeroed caches for every layer that owns KV storage.
 
     ``stacked=True`` returns single [n_layers, max_seq, heads, dim] arrays
-    (the scan-over-layers layout; requires uniform head dims)."""
+    (the scan-over-layers layout; requires uniform head dims).
+
+    ``dtype``: f16 (default) matches the reference's cache exactly; serve
+    engines use bf16 — same byte width, Mosaic-native for the flash-decode
+    kernel (Mosaic has no f16 support)."""
     if stacked:
-        k = jnp.zeros((hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_k), dtype=KV_DTYPE)
-        v = jnp.zeros((hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_v), dtype=KV_DTYPE)
+        k = jnp.zeros((hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_k), dtype=dtype)
+        v = jnp.zeros((hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_v), dtype=dtype)
         if sharding is not None:
             k, v = jax.device_put(k, sharding), jax.device_put(v, sharding)
         return KVCache(k=k, v=v)
@@ -74,8 +80,8 @@ def init_cache(hp: HParams, max_seq: int, *, sharding=None, stacked: bool = Fals
         swa = hp.is_swa_layer(i)
         dk = hp.n_embd_head_k_swa if swa else hp.n_embd_head_k
         dv = hp.n_embd_head_v_swa if swa else hp.n_embd_head_v
-        k = jnp.zeros((max_seq, hp.n_head_kv, dk), dtype=KV_DTYPE)
-        v = jnp.zeros((max_seq, hp.n_head_kv, dv), dtype=KV_DTYPE)
+        k = jnp.zeros((max_seq, hp.n_head_kv, dk), dtype=dtype)
+        v = jnp.zeros((max_seq, hp.n_head_kv, dv), dtype=dtype)
         if sharding is not None:
             k, v = jax.device_put(k, sharding), jax.device_put(v, sharding)
         ks.append(k)
@@ -152,6 +158,33 @@ def _attention(
     model.cpp:478-548), f32 accumulation. Returns [T, H*Dv] f32."""
     T, H, _ = q.shape
     S, Hkv, Dv = v_cache.shape
+
+    # Ragged flash decode pays off once the masked cache tail dominates
+    # traffic (long max_seq); at short contexts its per-layer launch
+    # overhead loses to one fused XLA softmax (measured on v5e at 1k).
+    flash_env = os.environ.get("LLMI_FLASH_DECODE", "auto")
+    use_flash = {"0": False, "1": True}.get(flash_env, S >= 2048)
+    if (
+        use_flash
+        and not exact
+        and T == 1
+        and hp.f_max_alibi_bias == 0.0
+        and S % 256 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        # serving decode: ragged flash kernel — bytes scale with the actual
+        # context length instead of max_seq (ops/pallas/flash_decode.py)
+        from ..ops.pallas.flash_decode import flash_decode
+
+        out = flash_decode(
+            q[None, 0],  # [1, H, Dk]
+            k_cache[None],
+            v_cache[None],
+            jnp.asarray(pos + 1, dtype=jnp.int32)[None],
+            softcap=hp.attn_soft_cap,
+        )
+        return out.reshape(T, H * Dv)
+
     scores, _ = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact)
 
     m = jnp.max(scores, axis=-1, keepdims=True)

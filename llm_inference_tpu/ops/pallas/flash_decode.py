@@ -1,0 +1,145 @@
+"""Ragged flash-decode attention: blockwise online-softmax over the KV
+cache with per-request lengths.
+
+The XLA attention in models/gemma.py reads and masks the WHOLE preallocated
+cache every step — correct, but at high batch and long context the masked
+tail dominates HBM traffic (batch 32 x 4k cache is gigabytes per step of
+mostly-masked keys). This kernel is the serving-path fix, the TPU analogue
+of paged/flash decode:
+
+  - grid (batch, key_blocks); the key/value BlockSpec index_map CLAMPS the
+    block index to each request's last valid block (scalar-prefetched
+    lengths), so out-of-range blocks re-reference the previous block and
+    Mosaic skips their DMA — bytes moved scale with the request's actual
+    length, not max_seq;
+  - online softmax (m, l, acc) in VMEM scratch across key blocks — the
+    same numerics as the reference's run_attn accumulator
+    (reference model.cpp:501-541), blockwise instead of per-element;
+  - GQA by a static loop over KV heads (small), one MXU dot per KV head
+    per block.
+
+Scope: decode (one query token per request). ALiBi is not implemented
+here (callers fall back to the XLA path when max_alibi_bias > 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 256
+
+
+def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, block, softcap):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    length = lens_ref[b]
+
+    @pl.when(j * block < length)
+    def _():
+        q = q_ref[0].astype(jnp.float32)  # [H, Dk]
+        k = k_ref[0].astype(jnp.float32)  # [BLK, Hkv, Dk]
+        v = v_ref[0].astype(jnp.float32)  # [BLK, Hkv, Dv]
+        H = q.shape[0]
+        hkv = k.shape[1]
+        group = H // hkv
+
+        key_pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        valid = key_pos < length  # [1, BLK]
+
+        for i in range(hkv):  # static, small
+            qi = q[i * group : (i + 1) * group, :]  # [G, Dk]
+            ki = k[:, i, :]  # [BLK, Dk]
+            s = jax.lax.dot_general(
+                qi, ki,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, BLK]
+            if softcap > 0.0:
+                s = softcap * jnp.tanh(s / softcap)
+            s = jnp.where(valid, s, -jnp.inf)
+
+            m_prev = m_scr[i * group : (i + 1) * group, :]  # [G, 1]
+            l_prev = l_scr[i * group : (i + 1) * group, :]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)  # [G, BLK]
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+            vi = v[:, i, :]  # [BLK, Dv]
+            pv = jax.lax.dot_general(
+                p, vi,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, Dv]
+            acc_slice = acc[i * group : (i + 1) * group, :]
+            acc[i * group : (i + 1) * group, :] = acc_slice * alpha + pv
+            m_scr[i * group : (i + 1) * group, :] = m_new
+            l_scr[i * group : (i + 1) * group, :] = l_new
+
+    @pl.when(j == nb - 1)
+    def _():
+        denom = l_scr[:]
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc[:] / safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "softcap", "interpret"))
+def flash_decode(
+    q: Array,  # [B, H, Dk] f32 (already scaled; f16-rounded by caller if needed)
+    k_cache: Array,  # [B, S, Hkv, Dk] f16
+    v_cache: Array,  # [B, S, Hkv, Dv] f16
+    lengths: Array,  # [B] int32: keys < length attend (the causal frontier)
+    *,
+    block: int = DEFAULT_BLOCK,
+    softcap: float = 0.0,
+    interpret: bool = False,
+) -> Array:
+    """Blockwise masked attention for one query per request: [B, H, Dv] f32."""
+    B, H, Dk = q.shape
+    _, S, Hkv, Dv = v_cache.shape
+    if S % block:
+        raise ValueError(f"max_seq {S} must be a multiple of block {block}")
+    nb = S // block
+
+    def clamp(b, j, lens):
+        last = jnp.maximum(lens[b] - 1, 0) // block
+        return (b, jnp.minimum(j, last), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, H, Dk), lambda b, j, lens: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, Hkv, Dk), clamp, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, Hkv, Dv), clamp, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, Dv), lambda b, j, lens: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H, Dv), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(_kernel, block=block, softcap=softcap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q.astype(jnp.float32), k_cache, v_cache)

@@ -67,7 +67,12 @@ class BatchedServer:
             gguf = GGUFFile(gguf)
         self.mode = mode
         exact = mode == "parity"
-        load_mode = {"serve": "bf16", "serve-q": "packed-serve", "parity": "packed"}[mode]
+        load_mode = {
+            "serve": "bf16",
+            "serve-q": "packed-serve",
+            "serve-q8": "rowq8",
+            "parity": "packed",
+        }[mode]
         self.hparams, self.weights = load_weights(gguf, mode=load_mode)
         if mode != "parity":
             self.weights = fuse_projections(self.weights)
@@ -112,7 +117,8 @@ class BatchedServer:
         self._prefill = jax.jit(_prefill_slot, donate_argnums=(1,))
         self._chunk = jax.jit(_chunk_batched, donate_argnums=(1,))
 
-        one = init_cache(hp, max_seq, stacked=self._stacked)
+        kv_dtype = jnp.float16 if mode == "parity" else jnp.bfloat16
+        one = init_cache(hp, max_seq, stacked=self._stacked, dtype=kv_dtype)
         self._caches = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (max_batch,) + a.shape).copy(), one
         )

@@ -1,0 +1,84 @@
+"""Ragged flash-decode kernel vs the XLA masked-softmax golden path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llm_inference_tpu.ops.pallas.flash_decode import flash_decode
+
+
+def _golden(q, k, v, lengths):
+    """Full masked softmax per request (the models/gemma.py formulation)."""
+    B, H, Dk = q.shape
+    _, S, Hkv, Dv = v.shape
+    group = H // Hkv
+    out = np.zeros((B, H, Dv), dtype=np.float32)
+    for b in range(B):
+        for h in range(H):
+            hkv = h // group
+            s = (q[b, h].astype(np.float32) @ k[b, :, hkv, :].astype(np.float32).T)
+            mask = np.arange(S) < lengths[b]
+            s = np.where(mask, s, -np.inf)
+            m = s.max()
+            if not np.isfinite(m):
+                continue
+            p = np.exp(s - m)
+            p = p / p.sum()
+            out[b, h] = p @ v[b, :, hkv, :].astype(np.float32)
+    return out
+
+
+@pytest.mark.parametrize("hkv,group", [(1, 4), (2, 2)])
+def test_flash_decode_matches_golden(hkv, group, rng):
+    B, S, Dk, Dv = 3, 512, 128, 128
+    H = hkv * group
+    q = rng.standard_normal((B, H, Dk)).astype(np.float32)
+    k = rng.standard_normal((B, S, hkv, Dk)).astype(np.float16)
+    v = rng.standard_normal((B, S, hkv, Dv)).astype(np.float16)
+    lengths = np.array([1, 130, 512], dtype=np.int32)
+
+    got = np.asarray(flash_decode(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+        block=128, interpret=True,
+    ))
+    want = _golden(q, k, v, lengths)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_decode_softcap(rng):
+    B, S, hkv, group, Dk = 1, 256, 1, 2, 128
+    H = hkv * group
+    q = rng.standard_normal((B, H, Dk)).astype(np.float32) * 3
+    k = rng.standard_normal((B, S, hkv, Dk)).astype(np.float16)
+    v = rng.standard_normal((B, S, hkv, Dk)).astype(np.float16)
+    lengths = np.array([200], dtype=np.int32)
+
+    got = np.asarray(flash_decode(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+        block=128, softcap=30.0, interpret=True,
+    ))
+
+    # golden with softcap
+    s = np.einsum("hd,skd->hsk", q[0].astype(np.float32), k[0].astype(np.float32))[:, :, 0]
+    s = 30.0 * np.tanh(s / 30.0)
+    s = np.where(np.arange(S) < 200, s, -np.inf)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = p @ v[0, :, 0, :].astype(np.float32)
+    np.testing.assert_allclose(got[0], want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_decode_zero_length(rng):
+    """A parked slot (length 0) must produce zeros, not NaN."""
+    B, S, hkv, group, D = 2, 256, 1, 2, 128
+    q = rng.standard_normal((B, hkv * group, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, hkv, D)).astype(np.float16)
+    v = rng.standard_normal((B, S, hkv, D)).astype(np.float16)
+    lengths = np.array([0, 50], dtype=np.int32)
+    got = np.asarray(flash_decode(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+        block=128, interpret=True,
+    ))
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got[0], 0.0)
