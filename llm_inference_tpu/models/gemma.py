@@ -159,11 +159,12 @@ def _attention(
     T, H, _ = q.shape
     S, Hkv, Dv = v_cache.shape
 
-    # Ragged flash decode pays off once the masked cache tail dominates
-    # traffic (long max_seq); at short contexts its per-layer launch
-    # overhead loses to one fused XLA softmax (measured on v5e at 1k).
-    flash_env = os.environ.get("LLMI_FLASH_DECODE", "auto")
-    use_flash = {"0": False, "1": True}.get(flash_env, S >= 2048)
+    # Ragged flash decode (ops/pallas/flash_decode.py) is opt-in: on v5e
+    # its per-layer launch overhead loses to one fused XLA softmax up to at
+    # least 4k context at batch 1 (the cache read is ~0.1 ms there). It
+    # becomes the right tool at batch x multi-k contexts where cache bytes
+    # rival weight bytes — wire a batched grid before flipping the default.
+    use_flash = os.environ.get("LLMI_FLASH_DECODE", "0") == "1"
     if (
         use_flash
         and not exact
