@@ -31,7 +31,7 @@ VOCAB_SIZE = 262144
 CACHE = Path(os.environ.get("LLMI_BENCH_GGUF", "/tmp/llmi_bench_gemma3_1b_q4_0.gguf"))
 
 PREFILL_LEN = 32
-DECODE_STEPS = 64
+DECODE_STEPS = 128
 WARMUP_STEPS = 8
 MAX_SEQ = 1024
 
@@ -76,7 +76,7 @@ def main() -> None:
     batch = int(os.environ.get("LLMI_BENCH_BATCH", "0"))
     if batch:
         return bench_batched(mode, batch)
-    engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode=mode, decode_chunk=32)
+    engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode=mode, decode_chunk=64)
     print(f"devices: {jax.devices()}", file=sys.stderr)
     # random weights can argmax onto <eos>; never stop early in the benchmark
     engine.tokenizer.eos_id = -1
@@ -125,7 +125,7 @@ def bench_batched(mode: str, batch: int) -> None:
     from llm_inference_tpu.serving import BatchedServer
 
     server = BatchedServer(str(CACHE), max_seq=MAX_SEQ, max_batch=batch,
-                           mode=mode, decode_chunk=16)
+                           mode=mode, decode_chunk=32)
     server.tokenizer.eos_id = -1
     server.tokenizer.end_of_turn_id = -1
     rng = np.random.default_rng(0)
