@@ -92,7 +92,7 @@ class Engine:
     ):
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
-        if mode not in ("serve", "serve-q", "serve-q8", "parity"):
+        if mode not in ("serve", "serve-q", "serve-q4", "serve-q8", "parity"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.gguf = gguf
         self.mode = mode
@@ -103,6 +103,7 @@ class Engine:
         load_mode = {
             "serve": "bf16",           # dequantized bf16, pure-XLA MXU path
             "serve-q": "packed-serve",  # packed int8+group scales, fused kernel
+            "serve-q4": "packed-q4",    # nibble-packed 4-bit, lossless, 0.5 B/w
             "serve-q8": "rowq8",        # per-row int8 requant, fastest kernel
             "parity": "packed",
         }[mode]

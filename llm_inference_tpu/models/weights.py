@@ -113,6 +113,23 @@ _LAYER_PARAMS = {
 
 
 def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed") -> WeightTensor:
+    if mode == "packed-q4" and info.name.startswith("blk."):
+        # serve-q4: lossless nibble-packing of 4-bit encodings (0.5 B/weight);
+        # non-4-bit formats stay int8 planar, embeddings go bf16.
+        from ..quant.device import pack_q4
+
+        w = from_gguf_bytes(
+            gguf.tensor_bytes(info), info.tensor_type, info.n_rows, info.n_cols,
+            sharding=sharding,
+        )
+        if not isinstance(w, DenseTensor):
+            q4 = pack_q4(w)
+            if q4 is not None:
+                return q4
+            return w
+        mode = "bf16"
+    elif mode == "packed-q4":
+        mode = "bf16"
     if mode == "rowq8":
         if info.name.startswith("blk."):
             # serve-q8: per-layer matmul weights become per-row int8 for the
@@ -272,6 +289,22 @@ def _concat_weights(parts: list) -> WeightTensor:
         return DenseTensor(
             w=jnp.concatenate([p.w for p in parts], axis=0),
             fmt=first.fmt, rows=rows, cols=first.cols,
+        )
+    from ..quant.device import Q4Tensor
+
+    if isinstance(first, Q4Tensor):  # nibble packing is per-row: rows concat
+        offset = None
+        if any(p.offset is not None for p in parts):
+            offset = jnp.concatenate(
+                [p.offset if p.offset is not None else jnp.zeros_like(p.scale) for p in parts],
+                axis=0,
+            )
+        return Q4Tensor(
+            packed=jnp.concatenate([p.packed for p in parts], axis=0),
+            scale=jnp.concatenate([p.scale for p in parts], axis=0),
+            offset=offset,
+            fmt=first.fmt, rows=rows, cols=first.cols,
+            group_size=first.group_size, centered=first.centered,
         )
     assert isinstance(first, QuantTensor)
     offset = None

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from ..quant.device import DenseTensor, QuantTensor, WeightTensor
+from ..quant.device import DenseTensor, Q4Tensor, QuantTensor, WeightTensor
 from .actquant import roundtrip_q8_0, roundtrip_q8_k
 from .numerics import f16_round
 
@@ -60,13 +60,13 @@ def matmul(w: WeightTensor, x: Array, *, exact: bool = True) -> Array:
         xr = contract_activations(x, w.act_quant)
         wd = w.dequant(jnp.float32)
         return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32)
-    if isinstance(w, QuantTensor):
-        from .pallas import quant_matmul, supports_pallas
+    if isinstance(w, (QuantTensor, Q4Tensor)):
+        from .pallas import q4_matmul, quant_matmul, supports_pallas
 
         t = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
         if jax.default_backend() == "tpu" and supports_pallas(w, t):
             x2 = x.reshape(t, w.cols)
-            y = quant_matmul(w, x2)
+            y = q4_matmul(w, x2) if isinstance(w, Q4Tensor) else quant_matmul(w, x2)
             return y.reshape(x.shape[:-1] + (w.rows,))
         wd = w.dequant(jnp.bfloat16)
     else:

@@ -8,6 +8,6 @@ matrix never exists in HBM — the difference between ~5 bytes and ~1 byte
 of HBM traffic per weight per step on the decode path.
 """
 
-from .qmatmul import quant_matmul, supports_pallas
+from .qmatmul import q4_matmul, quant_matmul, supports_pallas
 
-__all__ = ["quant_matmul", "supports_pallas"]
+__all__ = ["q4_matmul", "quant_matmul", "supports_pallas"]

@@ -134,3 +134,77 @@ def quant_matmul(qt: QuantTensor, x: Array, *, interpret: bool = False) -> Array
     return _run(
         xs, qt.q, qt.scale, qt.offset, group_size=qt.group_size, interpret=interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# true 4-bit packed variant (quant/device.py Q4Tensor): 0.5 bytes/weight
+
+
+def _make_kernel_q4(group_size: int, has_offset: bool, centered: bool):
+    def kernel(x_ref, p_ref, s_ref, *rest):
+        if has_offset:
+            off_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+        # packed int8 (Mosaic lacks uint8->bf16 casts and int8 shifts);
+        # widen to int32 for the nibble extraction. low nibble: device col c,
+        # high nibble: col c + C/2.
+        p = p_ref[:].astype(jnp.int32)  # [TILE_R, C/2]
+        lo = (p & 0xF).astype(jnp.bfloat16)
+        hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+        w = jnp.concatenate([lo, hi], axis=1)  # [TILE_R, C] device-strided
+        if centered:
+            w = w - jnp.bfloat16(8.0)
+        w = w * pltpu.repeat(s_ref[:], group_size, axis=1).astype(jnp.bfloat16)
+        if has_offset:
+            w = w - pltpu.repeat(off_ref[:], group_size, axis=1).astype(jnp.bfloat16)
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:].astype(jnp.bfloat16), w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "centered", "interpret"))
+def _run_q4(x, packed, scale, offset, *, group_size, centered, interpret=False):
+    T, C = x.shape
+    R, G = scale.shape
+    tile = _row_tile(R, C)
+    grid = (R // tile,)
+
+    in_specs = [
+        pl.BlockSpec((T, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, C // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, packed, scale]
+    if offset is not None:
+        in_specs.append(pl.BlockSpec((tile, G), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(offset)
+
+    return pl.pallas_call(
+        _make_kernel_q4(group_size, offset is not None, centered),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, R), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * R * C,
+            bytes_accessed=R * C // 2 + R * G * 4 + T * C * 4 + T * R * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def q4_matmul(qt, x: Array, *, interpret: bool = False) -> Array:
+    """Fused y = x @ W^T over a nibble-packed Q4Tensor: [T, C] -> [T, R]."""
+    if x.ndim != 2 or x.shape[-1] != qt.cols:
+        raise ValueError(f"q4_matmul: x {x.shape} vs weight cols {qt.cols}")
+    xs = qt.stride_activations(x.astype(jnp.float32))
+    return _run_q4(
+        xs, qt.packed, qt.scale, qt.offset,
+        group_size=qt.group_size, centered=qt.centered, interpret=interpret,
+    )

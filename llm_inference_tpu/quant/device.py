@@ -125,7 +125,7 @@ class DenseTensor:
         return self.w.astype(dtype)
 
 
-WeightTensor = QuantTensor | DenseTensor
+WeightTensor = "QuantTensor | DenseTensor | Q4Tensor"  # Q4Tensor defined below
 
 
 # ---------------------------------------------------------------------------
@@ -281,4 +281,89 @@ def requantize_rowwise(fmt: GGMLType, raw: np.ndarray, rows: int, cols: int) -> 
         rows=rows,
         cols=cols,
         group_size=cols,  # one group per row => strided layout is identity
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["packed", "scale", "offset"],
+    meta_fields=["fmt", "rows", "cols", "group_size", "centered"],
+)
+@dataclasses.dataclass
+class Q4Tensor:
+    """True 4-bit packed quantized weight: 0.5 bytes per weight in HBM.
+
+    LOSSLESS repack of 4-bit GGUF encodings (Q4_0 centered quants, Q4_K
+    unsigned quants + min offsets): the group scales/offsets are kept
+    exactly, only the int8 planar storage is nibble-packed.
+
+    Layout: device column c of the group-strided order (see QuantTensor)
+    lives in the LOW nibble of ``packed[:, c]`` for c < cols/2 and in the
+    HIGH nibble of ``packed[:, c - cols/2]`` otherwise. Because
+    cols/2 = (group_size/2) * groups, columns c and c + cols/2 share the
+    same group (c mod groups), so one lane-tiled scale expansion covers the
+    unpacked [lo | hi] concatenation inside the kernel
+    (ops/pallas/q4matmul.py).
+
+    ``centered``: quants stored as q+8 with value (q-8)*scale (Q4_0);
+    otherwise value q*scale - offset (Q4_K).
+    """
+
+    packed: Array  # int8 [rows, cols//2] (nibble pairs; int8 for Mosaic casts)
+    scale: Array  # f32 [rows, groups]
+    offset: Optional[Array]  # f32 [rows, groups] or None
+    fmt: GGMLType
+    rows: int
+    cols: int
+    group_size: int
+    centered: bool
+
+    @property
+    def act_quant(self) -> str:
+        return ACT_QUANT[self.fmt]
+
+    @property
+    def groups(self) -> int:
+        return self.cols // self.group_size
+
+    def stride_activations(self, x: Array) -> Array:
+        shape = x.shape
+        xg = x.reshape(shape[:-1] + (self.groups, self.group_size))
+        return jnp.swapaxes(xg, -1, -2).reshape(shape)
+
+    def dequant(self, dtype=jnp.float32) -> Array:
+        lo = (self.packed & 0xF).astype(jnp.int32)
+        hi = ((self.packed >> 4) & 0xF).astype(jnp.int32)
+        q = jnp.concatenate([lo, hi], axis=1)  # device-strided column order
+        if self.centered:
+            q = q - 8
+        qg = q.reshape(self.rows, self.group_size, self.groups).transpose(0, 2, 1)
+        w = qg.astype(jnp.float32) * self.scale[..., None]
+        if self.offset is not None:
+            w = w - self.offset[..., None]
+        return w.reshape(self.rows, self.cols).astype(dtype)
+
+
+def pack_q4(qt: QuantTensor) -> Optional[Q4Tensor]:
+    """Losslessly nibble-pack a 4-bit-quant QuantTensor (Q4_0/Q4_K); None
+    when the format's quants don't fit 4 bits or dims don't halve cleanly."""
+    if qt.fmt not in (GGMLType.Q4_0, GGMLType.Q4_K):
+        return None
+    if qt.cols % 2 or (qt.group_size // 2) * qt.groups != qt.cols // 2:
+        return None
+    centered = qt.fmt == GGMLType.Q4_0
+    q = np.asarray(qt.q)
+    u = (q + 8 if centered else q).astype(np.uint8)  # 0..15
+    half = qt.cols // 2
+    # int8 storage: Mosaic has no uint8->bf16 cast (kernel re-masks nibbles)
+    packed = (u[:, :half] | (u[:, half:] << 4)).astype(np.uint8).view(np.int8)
+    return Q4Tensor(
+        packed=jax.device_put(jnp.asarray(packed)),
+        scale=qt.scale,
+        offset=qt.offset,
+        fmt=qt.fmt,
+        rows=qt.rows,
+        cols=qt.cols,
+        group_size=qt.group_size,
+        centered=centered,
     )

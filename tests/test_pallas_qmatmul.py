@@ -51,3 +51,37 @@ def test_supports_pallas_bounds(rng):
     qt = from_gguf_bytes(raw, GGMLType.Q4_0, 64, 512)
     assert supports_pallas(qt, 1)
     assert not supports_pallas(qt, 128)  # prefill goes to the XLA path
+
+
+def test_pack_q4_lossless(rng):
+    """Nibble packing must reproduce the planar dequant bit-for-bit."""
+    from llm_inference_tpu.quant.device import pack_q4
+
+    for fmt, cols in [(GGMLType.Q4_0, 512), (GGMLType.Q4_K, 512)]:
+        w = (rng.standard_normal((16, cols)) * 0.3).astype(np.float32)
+        raw = layouts.encode(w, fmt)
+        qt = from_gguf_bytes(raw, fmt, 16, cols)
+        q4 = pack_q4(qt)
+        assert q4 is not None, fmt.name
+        np.testing.assert_array_equal(
+            np.asarray(q4.dequant()), np.asarray(qt.dequant()), err_msg=fmt.name
+        )
+    # non-4-bit formats refuse
+    raw6 = layouts.encode(np.zeros((4, 512), np.float32), GGMLType.Q6_K)
+    assert pack_q4(from_gguf_bytes(raw6, GGMLType.Q6_K, 4, 512)) is None
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_0, GGMLType.Q4_K])
+def test_q4_matmul_matches_dequant(fmt, rng):
+    from llm_inference_tpu.quant.device import pack_q4
+    from llm_inference_tpu.ops.pallas import q4_matmul
+
+    rows, cols = 64, 512
+    w = (rng.standard_normal((rows, cols)) * 0.3).astype(np.float32)
+    raw = layouts.encode(w, fmt)
+    q4 = pack_q4(from_gguf_bytes(raw, fmt, rows, cols))
+    x = jnp.asarray(rng.standard_normal((2, cols)).astype(np.float32))
+    golden = np.asarray(jnp.matmul(x, q4.dequant().T, preferred_element_type=jnp.float32))
+    got = np.asarray(q4_matmul(q4, x, interpret=True))
+    scale = np.abs(golden).max() + 1e-6
+    np.testing.assert_allclose(got, golden, atol=2e-2 * scale, err_msg=fmt.name)
