@@ -131,17 +131,15 @@ def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed
     elif mode == "packed-q4":
         mode = "bf16"
     if mode == "rowq8":
-        if info.name.startswith("blk."):
-            # serve-q8: per-layer matmul weights become per-row int8 for the
-            # output-scaled fused kernel. The embedding table stays bf16: its
-            # tied-logits matmul (262k rows) runs faster as one XLA bf16 GEMM
-            # than as a 100+-step Pallas grid (measured on v5e).
-            from ..quant.device import requantize_rowwise
+        # serve-q8: every matmul weight becomes per-row int8. Layer weights
+        # use the output-scaled fused Pallas kernel; the huge-vocab tied
+        # embedding runs as one XLA int8 dot (ops/linear.py) — halves the
+        # single biggest per-step read vs bf16.
+        from ..quant.device import requantize_rowwise
 
-            return requantize_rowwise(
-                info.tensor_type, gguf.tensor_bytes(info), info.n_rows, info.n_cols
-            )
-        mode = "bf16"
+        return requantize_rowwise(
+            info.tensor_type, gguf.tensor_bytes(info), info.n_rows, info.n_cols
+        )
     if mode == "bf16":
         # serve mode: dequantize once on the host, ship bf16 to HBM —
         # one 2-byte stream per weight at matmul time, full MXU rate.

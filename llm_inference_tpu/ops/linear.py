@@ -64,6 +64,17 @@ def matmul(w: WeightTensor, x: Array, *, exact: bool = True) -> Array:
         from .pallas import q4_matmul, quant_matmul, supports_pallas
 
         t = 1 if x.ndim == 1 else int(np.prod(x.shape[:-1]))
+        if (
+            isinstance(w, QuantTensor)
+            and w.groups == 1
+            and w.rows >= 16384
+            and jax.default_backend() == "tpu"
+        ):
+            # huge-R per-row-int8 matmuls (the tied-logits GEMM over the
+            # vocab) run better as ONE XLA int8 dot than a 100+-step Pallas
+            # grid (+14% end-to-end decode measured on v5e).
+            y = int8_rowwise_matmul(w, x.reshape(t, w.cols))
+            return y.reshape(x.shape[:-1] + (w.rows,))
         if jax.default_backend() == "tpu" and supports_pallas(w, t):
             x2 = x.reshape(t, w.cols)
             y = q4_matmul(w, x2) if isinstance(w, Q4Tensor) else quant_matmul(w, x2)
@@ -73,6 +84,21 @@ def matmul(w: WeightTensor, x: Array, *, exact: bool = True) -> Array:
         wd = w.w
     xr = x.astype(wd.dtype)
     return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32)
+
+
+def int8_rowwise_matmul(w: QuantTensor, x: Array) -> Array:
+    """W8A8: per-row-int8 weight x per-row-int8 activation as one integer
+    MXU contraction, output rescaled by both scales. x: [T, C] -> [T, R]."""
+    x2 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    d = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x2 / d), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w.q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * d * w.scale[:, 0][None, :]
 
 
 def embed_rows(w: WeightTensor, token_ids: Array) -> Array:

@@ -68,3 +68,20 @@ def test_rowwise_requant_close(rng):
     got = np.asarray(quant_matmul(q8, x, interpret=True))
     scale = np.abs(golden).max() + 1e-6
     np.testing.assert_allclose(got, golden, atol=2e-2 * scale)
+
+
+def test_int8_rowwise_matmul_close(rng):
+    """The W8A8 XLA path (serve-q8 logits matmul) vs dequant golden."""
+    from llm_inference_tpu.ops.linear import int8_rowwise_matmul
+    from llm_inference_tpu.quant.device import requantize_rowwise
+    from llm_inference_tpu.quant import layouts
+
+    rows, cols = 128, 512
+    w = (rng.standard_normal((rows, cols)) * 0.3).astype(np.float32)
+    raw = layouts.encode(w, GGMLType.Q4_0)
+    q8 = requantize_rowwise(GGMLType.Q4_0, raw, rows, cols)
+    x = jnp.asarray(rng.standard_normal((2, cols)).astype(np.float32))
+    golden = np.asarray(jnp.matmul(x, q8.dequant().T))
+    got = np.asarray(int8_rowwise_matmul(q8, x))
+    scale = np.abs(golden).max() + 1e-6
+    np.testing.assert_allclose(got, golden, atol=2.5e-2 * scale)
