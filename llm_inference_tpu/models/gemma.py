@@ -281,6 +281,7 @@ def forward(
     *,
     attention_impl: str = "fused",  # "fused" (serving) | "parity" (validation)
     exact: bool = True,  # reference numeric contract vs bf16 serve mode
+    q8_xla: bool = False,  # rowq8 matmuls as XLA W8A8 dots (batched serving)
 ) -> tuple[Array, KVCache]:
     """One forward step over T tokens. Returns (logits [vocab] f32 for the
     last valid token, updated cache). Call with T=prompt_bucket for prefill
@@ -292,7 +293,7 @@ def forward(
     weights/activations on the MXU, no contract round-trips — same model,
     ~1e-2 relative logit noise, 10x+ the throughput."""
     attention = partial(_ATTENTION_IMPLS[attention_impl], exact=exact)
-    mm = partial(matmul, exact=exact)
+    mm = partial(matmul, exact=exact, q8_xla=q8_xla)
     T = tokens.shape[0]
     n_valid = jnp.asarray(T if n_valid is None else n_valid, dtype=jnp.int32)
     pos = jnp.asarray(pos, dtype=jnp.int32)

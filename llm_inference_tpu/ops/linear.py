@@ -19,6 +19,8 @@ reference-correct fallback and the single-dispatch point.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,7 +42,7 @@ def contract_activations(x: Array, act_quant: str) -> Array:
     return x.astype(jnp.float32)
 
 
-def matmul(w: WeightTensor, x: Array, *, exact: bool = True) -> Array:
+def matmul(w: WeightTensor, x: Array, *, exact: bool = True, q8_xla: bool = False) -> Array:
     """y[..., r] = sum_c W[r, c] * x'[..., c], f32 accumulation.
 
     ``x`` is [..., cols]; returns [..., rows] f32.
@@ -67,12 +69,19 @@ def matmul(w: WeightTensor, x: Array, *, exact: bool = True) -> Array:
         if (
             isinstance(w, QuantTensor)
             and w.groups == 1
-            and w.rows >= 16384
+            and (
+                w.rows >= 16384
+                or q8_xla
+                or os.environ.get("LLMI_Q8_XLA", "0") == "1"
+            )
             and jax.default_backend() == "tpu"
         ):
-            # huge-R per-row-int8 matmuls (the tied-logits GEMM over the
-            # vocab) run better as ONE XLA int8 dot than a 100+-step Pallas
-            # grid (+14% end-to-end decode measured on v5e).
+            # W8A8 as ONE XLA int8 dot. Always right for huge-R matmuls
+            # (the tied-logits GEMM: a 100+-step Pallas grid loses) and for
+            # batched serving (``q8_xla``: vmap turns it into one batched
+            # integer GEMM — 1189 tok/s at batch 8 vs 312 for vmapped
+            # Pallas). Single-stream layer matmuls keep the fused Pallas
+            # kernel (429 vs 408 tok/s measured).
             y = int8_rowwise_matmul(w, x.reshape(t, w.cols))
             return y.reshape(x.shape[:-1] + (w.rows,))
         if jax.default_backend() == "tpu" and supports_pallas(w, t):
