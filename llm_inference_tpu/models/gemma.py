@@ -207,11 +207,15 @@ def _attention_parity(
     hp: HParams,
     exact: bool = True,
 ) -> Array:
-    """Bit-faithful emulation of the reference's online-softmax attention
-    with its f16 V-accumulator (reference model.cpp:501-548, vec_scale_f16 /
+    """Reference-faithful emulation of the online-softmax attention with
+    its f16 V-accumulator (reference model.cpp:501-548, vec_scale_f16 /
     vec_mad_f16 ops.cpp:1084-1099): the accumulator rounds to f16 after
-    every scale and every mad, in cache-slot order. A lax.scan over slots —
-    slow by construction, used by the parity harness, never for serving."""
+    every scale and every mad, in cache-slot order. One known last-ulp gap:
+    the reference accumulates each QK score in a C++ double
+    (model.cpp:504-509) while this path uses an f32 einsum — ~1e-7-relative
+    on the scores, far inside the golden tolerances. A lax.scan over
+    slots — slow by construction, used by the parity harness, never for
+    serving."""
     T, H, _ = q.shape
     S, Hkv, Dv = v_cache.shape
     group = H // Hkv
@@ -279,9 +283,9 @@ def forward(
     pos: Array,  # scalar int32: absolute position of tokens[0]
     n_valid: Array | int | None = None,  # tokens beyond this are padding
     *,
-    attention_impl: str = "fused",  # "fused" (serving) | "parity" (validation)
+    attention_impl: Optional[str] = None,  # "fused" | "parity"; None: by ``exact``
     exact: bool = True,  # reference numeric contract vs bf16 serve mode
-    q8_xla: bool = False,  # rowq8 matmuls as XLA W8A8 dots (batched serving)
+    mm_impl: str = "auto",  # "xla": no Pallas grids (batched serving, ops/linear.py)
 ) -> tuple[Array, KVCache]:
     """One forward step over T tokens. Returns (logits [vocab] f32 for the
     last valid token, updated cache). Call with T=prompt_bucket for prefill
@@ -291,9 +295,16 @@ def forward(
     matmuls of exactly-dequantized weights, activation-quant round-trips,
     the f16 rounding points). ``exact=False`` is the serving path: bf16
     weights/activations on the MXU, no contract round-trips — same model,
-    ~1e-2 relative logit noise, 10x+ the throughput."""
+    ~1e-2 relative logit noise, 10x+ the throughput.
+
+    ``attention_impl`` defaults to the mode's natural kernel: ``exact=True``
+    runs the reference-faithful online-softmax with its f16 V-accumulator
+    (slow lax.scan — validation only), ``exact=False`` the fused masked
+    softmax."""
+    if attention_impl is None:
+        attention_impl = "parity" if exact else "fused"
     attention = partial(_ATTENTION_IMPLS[attention_impl], exact=exact)
-    mm = partial(matmul, exact=exact, q8_xla=q8_xla)
+    mm = partial(matmul, exact=exact, mm_impl=mm_impl)
     T = tokens.shape[0]
     n_valid = jnp.asarray(T if n_valid is None else n_valid, dtype=jnp.int32)
     pos = jnp.asarray(pos, dtype=jnp.int32)
@@ -410,6 +421,7 @@ def _forward_scan(
     math. Requires every layer to own its KV and uniform head dims
     (layers_stackable); heterogeneous models use the unrolled path."""
     mm = partial(matmul, exact=exact)
+    attention = partial(_ATTENTION_IMPLS["parity" if exact else "fused"], exact=exact)
     T = tokens.shape[0]
     L = hp.block_count
 
@@ -449,7 +461,7 @@ def _forward_scan(
         k_c = _write_cache(k_c, k, pos, n_valid)
         v_c = _write_cache(v_c, v, pos, n_valid)
 
-        attn = _attention(q, k_c, v_c, pos=pos, hp=hp, exact=exact)
+        attn = attention(q, k_c, v_c, pos=pos, hp=hp)
         attn = mm(lw.wo, attn)
         if lw.post_attn_norm is not None:
             attn = _norm(attn, lw.post_attn_norm, hp.rms_eps)

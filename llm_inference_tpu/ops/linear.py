@@ -42,7 +42,9 @@ def contract_activations(x: Array, act_quant: str) -> Array:
     return x.astype(jnp.float32)
 
 
-def matmul(w: WeightTensor, x: Array, *, exact: bool = True, q8_xla: bool = False) -> Array:
+def matmul(
+    w: WeightTensor, x: Array, *, exact: bool = True, mm_impl: str = "auto"
+) -> Array:
     """y[..., r] = sum_c W[r, c] * x'[..., c], f32 accumulation.
 
     ``x`` is [..., cols]; returns [..., rows] f32.
@@ -55,9 +57,19 @@ def matmul(w: WeightTensor, x: Array, *, exact: bool = True, q8_xla: bool = Fals
     serve mode (exact=False): the native-dtype weight (bf16 after load-time
     dequant, models/weights.py) multiplies the activation cast to the same
     dtype — full MXU rate, one weight-byte stream, no contract round-trip.
+
+    ``mm_impl``:
+      - "auto": single-stream decode heuristics — fused Pallas kernels for
+        packed weights, one XLA W8A8 dot for huge-R rowq8 (tied logits).
+      - "xla": never launch a Pallas grid. The batched-serving path: under
+        vmap a Pallas grid lowers to a per-lane loop (measured 3.8x slower
+        than one batched XLA GEMM), so rowq8 runs as a single W8A8 integer
+        dot and grouped/packed weights dequantize into the GEMM operand.
     """
     if x.shape[-1] != w.cols:
         raise ValueError(f"matmul: x has {x.shape[-1]} features, weight expects {w.cols}")
+    if mm_impl not in ("auto", "xla"):
+        raise ValueError(f"unknown mm_impl {mm_impl!r}")
     if exact:
         xr = contract_activations(x, w.act_quant)
         wd = w.dequant(jnp.float32)
@@ -71,20 +83,20 @@ def matmul(w: WeightTensor, x: Array, *, exact: bool = True, q8_xla: bool = Fals
             and w.groups == 1
             and (
                 w.rows >= 16384
-                or q8_xla
+                or mm_impl == "xla"
                 or os.environ.get("LLMI_Q8_XLA", "0") == "1"
             )
             and jax.default_backend() == "tpu"
         ):
             # W8A8 as ONE XLA int8 dot. Always right for huge-R matmuls
             # (the tied-logits GEMM: a 100+-step Pallas grid loses) and for
-            # batched serving (``q8_xla``: vmap turns it into one batched
-            # integer GEMM — 1189 tok/s at batch 8 vs 312 for vmapped
-            # Pallas). Single-stream layer matmuls keep the fused Pallas
-            # kernel (429 vs 408 tok/s measured).
+            # batched serving (vmap turns it into one batched integer
+            # GEMM — 1189 tok/s at batch 8 vs 312 for vmapped Pallas).
+            # Single-stream layer matmuls keep the fused Pallas kernel
+            # (429 vs 408 tok/s measured).
             y = int8_rowwise_matmul(w, x.reshape(t, w.cols))
             return y.reshape(x.shape[:-1] + (w.rows,))
-        if jax.default_backend() == "tpu" and supports_pallas(w, t):
+        if mm_impl == "auto" and jax.default_backend() == "tpu" and supports_pallas(w, t):
             x2 = x.reshape(t, w.cols)
             y = q4_matmul(w, x2) if isinstance(w, Q4Tensor) else quant_matmul(w, x2)
             return y.reshape(x.shape[:-1] + (w.rows,))

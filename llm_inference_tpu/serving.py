@@ -67,15 +67,18 @@ class BatchedServer:
             gguf = GGUFFile(gguf)
         self.mode = mode
         exact = mode == "parity"
-        # batched rowq8 matmuls vmap into single integer GEMMs (W8A8) —
-        # measured faster than both bf16 GEMMs and vmapped Pallas grids
-        q8_xla = mode == "serve-q8"
-        load_mode = {
+        load_modes = {
             "serve": "bf16",
             "serve-q": "packed-serve",
+            "serve-q4": "packed-q4",
             "serve-q8": "rowq8",
             "parity": "packed",
-        }[mode]
+        }
+        if mode not in load_modes:
+            raise ValueError(
+                f"unknown server mode {mode!r}; supported: {sorted(load_modes)}"
+            )
+        load_mode = load_modes[mode]
         self.hparams, self.weights = load_weights(gguf, mode=load_mode)
         if mode != "parity":
             self.weights = fuse_projections(self.weights)
@@ -100,14 +103,16 @@ class BatchedServer:
             # 2 x n_layers eager device round-trips.
             one = jax.tree_util.tree_map(lambda c: c[slot], caches)
             logits, one = forward(hp, w, one, tokens, pos, n_valid,
-                                  exact=exact, q8_xla=q8_xla)
+                                  exact=exact, mm_impl="xla")
             caches = jax.tree_util.tree_map(lambda c, s: c.at[slot].set(s), caches, one)
             return jnp.argmax(logits).astype(jnp.int32), caches
 
         def _chunk_one(w, cache, token, pos):
             def body(carry, _):
                 c, tok, p = carry
-                logits, c = forward(hp, w, c, tok[None], p, exact=exact, q8_xla=q8_xla)
+                # mm_impl="xla": a vmapped Pallas grid runs per-lane; one
+                # batched XLA GEMM is what the MXU wants (ops/linear.py)
+                logits, c = forward(hp, w, c, tok[None], p, exact=exact, mm_impl="xla")
                 nxt = jnp.argmax(logits).astype(jnp.int32)
                 return (c, nxt, p + 1), nxt
 
@@ -136,6 +141,16 @@ class BatchedServer:
     def submit(self, prompt_ids: list[int], n_predict: int = 100,
                on_token: Optional[Callable[[int], None]] = None) -> Request:
         """Queue a request; it joins the batch at the next step()."""
+        # Reject anything that could overrun the preallocated cache: an
+        # out-of-range write would silently drop (models/gemma.py
+        # _write_cache mode='drop') and the request would emit garbage.
+        need = len(prompt_ids) + n_predict + self.decode_chunk
+        if prefill_bucket(len(prompt_ids)) > self.max_seq or need > self.max_seq:
+            raise ValueError(
+                f"request needs {need} cache slots (prompt {len(prompt_ids)} + "
+                f"n_predict {n_predict} + chunk {self.decode_chunk}, prefill "
+                f"bucket {prefill_bucket(len(prompt_ids))}) but max_seq is {self.max_seq}"
+            )
         self._uid += 1
         req = Request(uid=self._uid, prompt_ids=list(prompt_ids),
                       n_predict=n_predict, on_token=on_token)

@@ -30,6 +30,12 @@ class Tokenizer:
         self.architecture = architecture
         self.id_to_token: list[str] = list(metadata["tokenizer.ggml.tokens"])
         self.token_to_id = {tok: i for i, tok in enumerate(self.id_to_token)}
+        # The reference's longest-match loop walks UTF-8 BYTES of a
+        # std::string (model.cpp:1148-1178): out-of-vocab multi-byte
+        # characters emit one <unk> per byte and the scan may resynchronize
+        # mid-codepoint. Match over bytes with a bytes-keyed vocab to
+        # reproduce that exactly.
+        self.btoken_to_id = {tok.encode("utf-8"): i for i, tok in enumerate(self.id_to_token)}
 
         # BOS/UNK/EOS resolution with the reference's fallback chain
         # (model.cpp:1064-1086, main.cpp:124-136).
@@ -69,7 +75,8 @@ class Tokenizer:
             elif ts in ("<|channel|>", "</think>") and self.channel_id == -1:
                 self.channel_id = i
 
-        self.max_token_len = max((len(t) for t in self.id_to_token), default=0)
+        # byte length, like the reference's std::string::length() bound
+        self.max_token_len = max((len(t) for t in self.btoken_to_id), default=0)
 
     # -- encode ---------------------------------------------------------------
 
@@ -96,17 +103,17 @@ class Tokenizer:
                     ids.append(self.bos_id)
                 text = " " + prompt
 
-        text = text.replace(" ", SPIECE_SPACE)
+        data = text.replace(" ", SPIECE_SPACE).encode("utf-8")
 
-        i, n = 0, len(text)
-        vocab = self.token_to_id
+        i, n = 0, len(data)
+        vocab = self.btoken_to_id
         max_len = self.max_token_len
         while i < n:
             best_id = -1
             best_len = 0
             limit = min(max_len, n - i)
             for length in range(1, limit + 1):
-                tid = vocab.get(text[i : i + length])
+                tid = vocab.get(data[i : i + length])
                 if tid is not None:
                     best_id, best_len = tid, length
             if best_id != -1:

@@ -62,9 +62,11 @@ inline uint16_t f32_to_f16(float f) {
     return (uint16_t)(sign | 0x7C00u | (x > 0x7F800000u ? 0x200u : 0));
   }
   if (x < 0x38800000u) {  // subnormal or zero
-    // add implicit bit, shift with rounding
-    uint32_t shift = 113 - (x >> 23);
-    if (shift > 24) return (uint16_t)sign;
+    // value = man24 * 2^(e-150); f16 subnormal unit is 2^-24, so the
+    // result quantum count is man24 >> (126 - e), rounded to nearest-even.
+    uint32_t e = x >> 23;
+    if (e < 102) return (uint16_t)sign;  // < 2^-25: underflows to zero
+    uint32_t shift = 126 - e;            // 14..24 here
     uint32_t man = (x & 0x7FFFFFu) | 0x800000u;
     uint32_t rounded = man >> shift;
     uint32_t rem = man & ((1u << shift) - 1);

@@ -79,11 +79,9 @@ def test_gemma4_golden_logits_vs_reference():
         logits, cache = fwd(w, cache, jnp.asarray(tokens, dtype=jnp.int32), pos)
         pos += len(tokens)
         scale = max(1.0, np.abs(golden).max())
-        # Per-tensor activation checksums agree to <= 3e-4 through every
-        # layer (test_parity_harness strategy); the remaining logit spread
-        # is act-quant boundary-flip noise amplified by the gemma4 path's
-        # many small-magnitude RMS norms.
-        np.testing.assert_allclose(np.asarray(logits), golden, atol=6e-2 * scale)
+        # Reference-faithful attention holds the reference's own 3e-3
+        # golden bar (model_test.cpp:456); measured max rel err ~1e-7.
+        np.testing.assert_allclose(np.asarray(logits), golden, atol=3e-3 * scale)
 
 
 @pytest.mark.skipif(not oracle_available(), reason="reference oracle unavailable")

@@ -67,27 +67,23 @@ def _run_forward_chain(buf, token_chains, max_seq=64):
 
 @pytest.mark.skipif(not oracle_available(), reason="reference oracle unavailable")
 @pytest.mark.parametrize(
-    "fmt,n_embd,n_ff,tol",
+    "fmt,n_embd,n_ff",
     [
-        # Float-weight 32-dim fixtures hold the reference's own golden bar
-        # (3e-3). Activation-quantized formats get a wider bar: a ~1e-7
-        # upstream accumulation-order difference (XLA tree-reduce vs the
-        # reference's sequential sums, XLA tanh/exp vs glibc) can flip one
-        # int8 on a nearest-int boundary, moving a logit by ~d*|row| ≈ 1e-2
-        # on these tiny models. Per-matmul parity is asserted bit-tight in
-        # test_ops.py; the reference's own llama.cpp harness likewise
-        # compares by MSE, not bitwise (compare_tensors.py).
-        (GGMLType.Q4_0, 32, 64, 1.5e-2),
-        (GGMLType.Q8_0, 32, 64, 1.5e-2),
-        (GGMLType.Q5_0, 32, 64, TOL),
-        (GGMLType.BF16, 32, 64, TOL),
+        # Every format holds the reference's own golden bar (3e-3,
+        # model_test.cpp:456) now that exact mode runs the reference-
+        # faithful online-softmax attention (measured max rel err <=1.1e-4,
+        # most formats ~1e-7 — the XLA-vs-glibc accumulation-order floor).
+        (GGMLType.Q4_0, 32, 64),
+        (GGMLType.Q8_0, 32, 64),
+        (GGMLType.Q5_0, 32, 64),
+        (GGMLType.BF16, 32, 64),
         # F16 layer weights omitted: the reference dispatcher has no F16
         # GEMV (ops.cpp:933-956 throws); F16 is embedding-only there.
-        (GGMLType.Q4_K, 256, 512, 4e-2),
-        (GGMLType.Q6_K, 256, 512, 4e-2),
+        (GGMLType.Q4_K, 256, 512),
+        (GGMLType.Q6_K, 256, 512),
     ],
 )
-def test_golden_logits_vs_reference(fmt, n_embd, n_ff, tol):
+def test_golden_logits_vs_reference(fmt, n_embd, n_ff, tol=TOL):
     """Prefill + chained decode: logits must match the reference engine."""
     from oracle_harness import OracleModel
 
@@ -121,7 +117,7 @@ def test_golden_logits_with_post_norms():
     ref.close()
     ours = _run_forward_chain(buf, [[2, 7]])[0]
     scale = max(1.0, np.abs(ref_logits).max())
-    np.testing.assert_allclose(ours, ref_logits, atol=1.5e-2 * scale)
+    np.testing.assert_allclose(ours, ref_logits, atol=TOL * scale)
 
 
 def test_padded_prefill_matches_unpadded():

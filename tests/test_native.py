@@ -59,3 +59,21 @@ def test_encode_f16_parity(rng):
     got = native.encode_f16(w)
     assert got is not None
     np.testing.assert_array_equal(got, layouts.encode(w, GGMLType.F16))
+
+
+def test_encode_f16_subnormals(rng):
+    """f16-subnormal-range inputs (2^-25 .. 2^-14) must match np.float16
+    bit-for-bit — regression for the shift bug flagged in round-1 review
+    (3.05e-5 must encode as 0x0200, not a garbage negative value)."""
+    specials = np.array(
+        [3.05e-5, 5.96e-8, 2 ** -25, np.nextafter(np.float32(2 ** -25), np.float32(1)),
+         2 ** -24, 6.1e-5, -3.05e-5, 1e-30, 0.0, -0.0, 2 ** -14, np.nextafter(
+             np.float32(2 ** -14), np.float32(0))],
+        dtype=np.float32,
+    )
+    mags = np.exp(rng.uniform(np.log(1e-9), np.log(1e-4), size=500)).astype(np.float32)
+    w = np.concatenate([specials, mags * rng.choice([-1, 1], size=500)]).reshape(1, -1)
+    got = native.encode_f16(w)
+    assert got is not None
+    want = w.astype(np.float16).view(np.uint16).ravel()
+    np.testing.assert_array_equal(got.view(np.uint16).ravel(), want)

@@ -43,6 +43,34 @@ def test_more_requests_than_slots(model_buf):
     assert got == want
 
 
+def test_overlong_request_rejected(model_buf):
+    """Requests that could overrun the cache must be rejected at submit,
+    never silently drop KV writes (round-1 review finding)."""
+    server = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=1,
+                           mode="parity", decode_chunk=4)
+    with pytest.raises(ValueError, match="max_seq"):
+        server.submit([2] * 60, n_predict=10)
+    with pytest.raises(ValueError, match="max_seq"):
+        server.submit([2] * 3, n_predict=64)
+
+
+def test_unknown_mode_rejected(model_buf):
+    with pytest.raises(ValueError, match="supported"):
+        BatchedServer(GGUFFile(model_buf), max_seq=64, mode="serve-q9")
+
+
+def test_serve_q4_mode(model_buf):
+    """serve-q4 (lossless nibble-packed) must work batched, matching the
+    bf16 serve stream on this well-conditioned fixture."""
+    server = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=2,
+                           mode="serve-q4", decode_chunk=4)
+    got = server.run([([2, 7, 8], 5), ([2, 12], 5)])
+    ref = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=2,
+                        mode="serve", decode_chunk=4)
+    want = ref.run([([2, 7, 8], 5), ([2, 12], 5)])
+    assert got == want
+
+
 def test_slot_reuse_is_clean(model_buf):
     """A request that reuses a freed slot must be unaffected by stale cache."""
     server = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=1,

@@ -32,6 +32,15 @@ def test_unknown_chars_become_unk():
     assert tok.id_to_token[ids[-2]] == "a"
 
 
+def test_unknown_multibyte_chars_emit_unk_per_byte():
+    """The reference walks UTF-8 bytes (model.cpp:1148-1178): an
+    out-of-vocab 3-byte character like '€' yields THREE <unk> tokens."""
+    tok = _tokenizer(build_gemma3_gguf())
+    ids = tok.encode("a€", apply_chat_template=False).ids
+    assert tok.id_to_token[ids[-4]] == "a"
+    assert ids[-3:] == [tok.unk_id] * 3
+
+
 def test_chat_template_gemma3():
     tok = _tokenizer(build_gemma3_gguf())
     res = tok.encode("ab", apply_chat_template=True)
