@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Per-kernel roofline report for one decode step (SURVEY.md §7 step 5).
+
+Captures a jax.profiler trace of a few decode chunks on the benchmark
+checkpoint, sums device-side kernel durations per op bucket, and reports
+bytes-moved vs time vs HBM speed-of-light per kernel class plus the
+end-to-end step accounting. Writes the table to stdout (and ROOFLINE.md
+with --write).
+
+Usage:
+  python tools/roofline.py [--mode serve-q8] [--max-seq 1024] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+HBM_GBPS = float(os.environ.get("LLMI_HBM_GBPS", "819"))  # v5e: ~819 GB/s
+
+
+def weight_bytes(w) -> dict[str, int]:
+    """HBM bytes read per decode step, by weight class (each weight is
+    streamed exactly once per step on the decode path)."""
+    import jax
+    import numpy as np
+
+    def nbytes(t):
+        return sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(t) if hasattr(x, "nbytes")
+        )
+
+    out = {"layers": sum(nbytes(l) for l in (w.layers if isinstance(w.layers, (list, tuple)) else [w.layers])),
+           "logits(tied embd)": nbytes(w.token_embd),
+           "norms/other": nbytes(w.output_norm)}
+    return out
+
+
+def is_container(name: str) -> bool:
+    """XLA container spans that wrap leaf kernels (would double-count)."""
+    n = name.lower()
+    return n.startswith("jit_") or n.startswith("while") or n.startswith("body") or n.startswith("condition")
+
+
+def canon(name: str) -> str:
+    """Strip the uniquifying .NNN suffix so per-layer clones aggregate."""
+    import re
+
+    return re.sub(r"\.\d+$", "", name)
+
+
+def bucket(name: str) -> str:
+    """Map an XLA/Mosaic kernel name to a human op class."""
+    n = name.lower()
+    if n.startswith("_run"):
+        return "pallas fused dequant-matmul"
+    if n.startswith("custom-call") or "mosaic" in n:
+        return "pallas kernel (custom-call)"
+    if "multiply_reduce" in n:
+        return "logits W8A8 multiply-reduce"
+    if "convert" in n:
+        return "dtype convert"
+    if "dot" in n or "conv" in n:
+        return "XLA dot/GEMM"
+    if "fusion" in n:
+        return "XLA fusion (elementwise/softmax)"
+    if "dynamic-update-slice" in n or "scatter" in n:
+        return "cache write"
+    if "dynamic-slice" in n or "gather" in n:
+        return "gather/slice"
+    if "reduce" in n or "argmax" in n or "sort" in n:
+        return "reduce/argmax"
+    if "copy" in n or "bitcast" in n or "reshape" in n or "transpose" in n:
+        return "copy/layout"
+    if "while" in n or "scan" in n:
+        return "loop control"
+    if "infeed" in n or "outfeed" in n or "transfer" in n:
+        return "host transfer"
+    return "other"
+
+
+def capture(mode: str, max_seq: int, chunks: int = 2, decode_chunk: int = 64):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench  # repo root bench.py (adds checkpoint builder/cache)
+
+    if not bench.CACHE.exists():
+        bench.build_checkpoint()
+    from llm_inference_tpu.engine import Engine
+
+    eng = Engine(str(bench.CACHE), max_seq=max_seq, mode=mode, decode_chunk=decode_chunk)
+    eng.tokenizer.eos_id = -1
+    eng.tokenizer.end_of_turn_id = -1
+    rng = np.random.default_rng(0)
+    prompt = [2] + rng.integers(10, 10000, size=31).tolist()
+
+    # warmup: compile prefill + decode chunk
+    eng.generate_from_ids(prompt, n_predict=decode_chunk + 8)
+
+    # manual chunk loop so the trace contains ONLY decode chunks
+    cache = eng.new_cache()
+    bucket_len = 32
+    padded = np.zeros(bucket_len, dtype=np.int32)
+    padded[: len(prompt)] = prompt
+    tok, _, cache = eng._prefill(
+        eng.weights, cache, jnp.asarray(padded), jnp.int32(0),
+        jnp.int32(len(prompt)), eng._base_key,
+    )
+    tok = jnp.asarray(int(tok), dtype=jnp.int32)
+    pos = len(prompt)
+    # one untraced chunk to settle
+    toks, cache = eng._decode_chunk(eng.weights, cache, tok, jnp.int32(pos), eng._base_key)
+    toks.block_until_ready()
+    pos += decode_chunk
+
+    trace_dir = "/tmp/llmi_roofline_trace"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        toks, cache = eng._decode_chunk(
+            eng.weights, cache, jnp.asarray(int(toks[-1]), dtype=jnp.int32),
+            jnp.int32(pos), eng._base_key,
+        )
+        toks.block_until_ready()
+        pos += decode_chunk
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+
+    steps = chunks * decode_chunk
+    return eng, trace_dir, steps, wall
+
+
+def parse_trace(trace_dir: str, steps: int):
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    assert files, f"no trace under {trace_dir}"
+    data = json.load(gzip.open(files[-1]))
+    ev = data["traceEvents"]
+    device_pids = set()
+    pid_names = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+            if "TPU" in e["args"].get("name", "") or "device" in e["args"].get("name", "").lower():
+                if "CPU" not in e["args"].get("name", ""):
+                    device_pids.add(e["pid"])
+    per_op = collections.Counter()
+    per_op_n = collections.Counter()
+    per_bucket = collections.Counter()
+    total = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        if is_container(name):
+            continue
+        dur = e.get("dur", 0)  # microseconds
+        cn = canon(name)
+        per_op[cn] += dur
+        per_op_n[cn] += 1
+        per_bucket[bucket(name)] += dur
+        total += dur
+    return per_op, per_op_n, per_bucket, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default=os.environ.get("LLMI_BENCH_MODE", "serve-q8"))
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--chunks", type=int, default=2)
+    ap.add_argument("--decode-chunk", type=int, default=64)
+    ap.add_argument("--write", action="store_true", help="write ROOFLINE.md")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    eng, trace_dir, steps, wall = capture(args.mode, args.max_seq, args.chunks, args.decode_chunk)
+    per_op, per_op_n, per_bucket, total_us = parse_trace(trace_dir, steps)
+
+    wb = weight_bytes(eng.weights)
+    wtotal = sum(wb.values())
+    # KV cache bytes read per step (whole preallocated cache on the XLA path)
+    c = eng.new_cache()
+    kv_bytes = sum(
+        int(np.prod(k.shape)) * k.dtype.itemsize + int(np.prod(v.shape)) * v.dtype.itemsize
+        for k, v in zip(c.k, c.v)
+    ) if not eng._stacked else 0
+
+    lines = []
+    lines.append(f"# Roofline — mode={args.mode}, max_seq={args.max_seq}, 1B geometry, 1 chip\n")
+    lines.append(f"HBM speed-of-light assumed {HBM_GBPS} GB/s (v5e).\n")
+    sol_ms = wtotal / (HBM_GBPS * 1e9) * 1e3
+    step_ms = total_us / steps / 1e3
+    wall_ms = wall / steps * 1e3
+    lines.append(f"- weight bytes/step: {wtotal/1e6:.1f} MB "
+                 f"({', '.join(f'{k} {v/1e6:.1f}MB' for k, v in wb.items())})")
+    lines.append(f"- KV cache bytes (full read, XLA attention): {kv_bytes/1e6:.1f} MB")
+    lines.append(f"- speed-of-light step (weights only): {sol_ms:.3f} ms -> {1e3/sol_ms:.0f} tok/s")
+    lines.append(f"- measured device time/step: {step_ms:.3f} ms ({100*sol_ms/step_ms:.1f}% of SoL)")
+    lines.append(f"- measured wall time/step:   {wall_ms:.3f} ms -> {1e3/wall_ms:.1f} tok/s "
+                 f"(device busy {100*step_ms/wall_ms:.0f}%)\n")
+
+    lines.append("## By op class (device time per step)\n")
+    lines.append("| op class | us/step | % of step |")
+    lines.append("|---|---|---|")
+    for b, us in per_bucket.most_common():
+        lines.append(f"| {b} | {us/steps:.1f} | {100*us/total_us:.1f}% |")
+
+    lines.append("\n## Top kernels\n")
+    lines.append("| kernel | us/step | calls/step | us/call |")
+    lines.append("|---|---|---|---|")
+    for name, us in per_op.most_common(args.top):
+        n = per_op_n[name]
+        lines.append(f"| `{name[:70]}` | {us/steps:.1f} | {n/steps:.1f} | {us/max(n,1):.1f} |")
+
+    out = "\n".join(lines)
+    print(out)
+    if args.write:
+        Path(os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md")).write_text(out + "\n")
+
+
+if __name__ == "__main__":
+    main()
