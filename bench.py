@@ -138,11 +138,17 @@ def bench_batched(mode: str, batch: int) -> None:
 
     server.run(reqs(8))  # warmup/compile
     t0 = time.time()
-    outs = server.run(reqs(DECODE_STEPS))
+    handles = [server.submit(ids, n) for ids, n in reqs(DECODE_STEPS)]
+    while server.step():
+        pass
     dt = time.time() - t0
-    total = sum(len(o) for o in outs)
+    total = sum(len(r.out) for r in handles)
     tok_s = total / dt
-    print(f"batch={batch}: {total} tokens in {dt:.3f}s", file=sys.stderr)
+    import numpy as _np
+
+    ttft_p50 = float(_np.percentile([r.ttft_s for r in handles], 50)) * 1e3
+    print(f"batch={batch}: {total} tokens in {dt:.3f}s, p50 TTFT {ttft_p50:.1f} ms",
+          file=sys.stderr)
     print(
         json.dumps(
             {
@@ -150,6 +156,7 @@ def bench_batched(mode: str, batch: int) -> None:
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+                "p50_ttft_ms": round(ttft_p50, 1),
             }
         )
     )

@@ -312,6 +312,18 @@ def forward(
     if isinstance(w.layers, LayerWeights):  # stacked: scan-over-layers path
         return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact)
 
+    if (
+        not exact
+        and mm_impl == "auto"
+        and attention_impl == "fused"
+        and T == 1
+        and _fused_decode_supported(hp, w)
+    ):
+        # single-token serve decode: one Pallas megakernel per layer
+        # boundary (ops/pallas/fused_decode.py) — ~14 kernels/layer and the
+        # tied-logits GEMV collapse into 27 streaming calls per step.
+        return _forward_fused_decode(hp, w, cache, tokens, pos)
+
     # Embedding gather + sqrt(n_embd) scale (reference model.cpp:710-712).
     x = tap("imp_embed", embed_rows(w.token_embd, tokens))  # [T, D] f32
     x = tap("inp_scaled", x * jnp.float32(math.sqrt(hp.embedding_length)))
@@ -402,6 +414,222 @@ def forward(
     logits = mm(w.token_embd, last)
     logits = tap("result_output", softcap(logits, hp.final_logit_softcap))
 
+    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
+
+
+def _fused_decode_supported(hp: HParams, w: ModelWeights) -> bool:
+    """Can this model run the fused decode megakernel path? Requires the
+    rowq8 (per-row int8) weight layout for every matmul in the chain, a
+    gemma3-style layer (no per-layer-input epilogue, no ALiBi, own KV per
+    layer, q/k norms), fused projections, and the TPU backend."""
+    if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
+        return False
+    if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
+        return False
+    if w.token_embd_per_layer is not None or hp.architecture == "gemma4":
+        return False
+    if hp.f_max_alibi_bias > 0.0:
+        return False
+    from ..ops.pallas.fused_decode import _rowq8, block_supported
+
+    if not _rowq8(w.token_embd):
+        return False
+    layers = list(w.layers)
+    for i, lw in enumerate(layers):
+        if lw.wqkv is None or lw.q_norm is None or lw.k_norm is None:
+            return False
+        wn = layers[i + 1].wqkv if i + 1 < len(layers) else w.token_embd
+        if not block_supported(lw, wn):
+            return False
+        if not _rowq8(lw.wqkv):
+            return False
+        if not hp.layer_has_kv(i):
+            return False
+        if hp.is_swa_layer(i) and (
+            hp.n_embd_head_k_swa != hp.n_embd_head_k
+            or hp.n_embd_head_v_swa != hp.n_embd_head_v
+        ):
+            return False
+    return True
+
+
+def _forward_fused_decode(
+    hp: HParams,
+    w: ModelWeights,
+    cache: KVCache,
+    tokens: Array,  # [1] int32
+    pos: Array,
+) -> tuple[Array, KVCache]:
+    """Single-token decode via the fused layer megakernels
+    (ops/pallas/fused_decode.py): one Pallas call per layer covering
+    qkv-split/norms/rope/attention/Wo/FFN/next-QKV. Numerically the serve
+    path: bf16 activations against exact int8 weights (the mixed MXU dot
+    is exact for int8 operands), f32 residual stream. Only the embedding
+    gather, the rope tables, the per-layer KV row scatters, and the final
+    softcap/sampling remain XLA."""
+    from ..ops.pallas.fused_decode import fused_head, fused_layer
+
+    interpret = bool(os.environ.get("LLMI_FUSED_INTERPRET"))
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+    layers = list(w.layers)
+    L = len(layers)
+    dk = hp.n_embd_head_k
+
+    x = embed_rows(w.token_embd, tokens)  # [1, D] f32
+    x = x * jnp.float32(math.sqrt(hp.embedding_length))
+
+    # rope tables, once per distinct base per step (reference ops.cpp:67-95)
+    half = dk // 2
+    tables = {}
+    for base in {hp.rope_base_for_layer(i) for i in range(L)}:
+        i_ = jnp.arange(half, dtype=jnp.float32)
+        freq = 1.0 / jnp.power(jnp.float32(base), 2.0 * i_ / dk)
+        val = pos.astype(jnp.float32) * freq / jnp.float32(hp.rope_freq_scale)
+        tables[base] = (jnp.cos(val)[None, :], jnp.sin(val)[None, :])
+
+    qkv = fused_head(x, layers[0].attn_norm, layers[0].wqkv,
+                     eps=hp.rms_eps, interpret=interpret)
+
+    new_k = list(cache.k)
+    new_v = list(cache.v)
+    n_valid = jnp.int32(1)
+
+    for i, layer in enumerate(layers):
+        cos, sin = tables[hp.rope_base_for_layer(i)]
+        next_norm = layers[i + 1].attn_norm if i + 1 < L else w.output_norm
+        wn = layers[i + 1].wqkv if i + 1 < L else w.token_embd
+        x, qkv, k_new, v_new = fused_layer(
+            pos, x, qkv, new_k[i], new_v[i], cos, sin, layer, next_norm, wn,
+            hp=hp, interpret=interpret,
+        )
+        new_k[i] = _write_cache(new_k[i], k_new[None], pos, n_valid)
+        new_v[i] = _write_cache(new_v[i], v_new[None], pos, n_valid)
+
+    logits = softcap(qkv[0], hp.final_logit_softcap)
+    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
+
+
+def forward_batched_decode(
+    hp: HParams,
+    w: ModelWeights,
+    cache: KVCache,  # leading batch dim: k[i] [B, S, Hkv, dk]
+    tokens: Array,   # [B] int32 (parked slots hold arbitrary ids)
+    pos: Array,      # [B] int32; parked slots use pos >= S (writes drop)
+) -> tuple[Array, KVCache]:
+    """One decode step for B concurrent requests as ONE batched program:
+    every weight matmul is a single [B, .] GEMM (the weight streams from
+    HBM once per step regardless of batch) and attention is the ragged
+    flash-decode kernel whose HBM traffic scales with each request's live
+    context, not B x max_seq (ops/pallas/flash_decode.py). This is the
+    serving-path replacement for vmapping the single-sequence forward
+    (which lowers Pallas grids per-lane and reads whole caches).
+
+    Serve-numerics only (bf16 GEMMs / W8A8); parity mode uses the
+    single-sequence forward. Returns (logits [B, vocab] f32, cache)."""
+    mm = partial(matmul, exact=False, mm_impl="xla")
+    B = tokens.shape[0]
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+    lanes = jnp.arange(B, dtype=jnp.int32)
+
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and hp.f_max_alibi_bias == 0.0
+        and cache.k[0].shape[1] % 256 == 0
+    )
+
+    x = embed_rows(w.token_embd, tokens)  # [B, D] f32
+    x = x * jnp.float32(math.sqrt(hp.embedding_length))
+
+    inp_per_layer = _per_layer_inputs(hp, w, tokens, x, exact=False)
+
+    new_k = list(cache.k)
+    new_v = list(cache.v)
+
+    for i, layer in enumerate(w.layers):
+        is_swa = hp.is_swa_layer(i)
+        rope_base = hp.rope_base_for_layer(i)
+        dk = hp.n_embd_head_k_swa if is_swa else hp.n_embd_head_k
+        dv = hp.n_embd_head_v_swa if is_swa else hp.n_embd_head_v
+
+        h = _norm(x, layer.attn_norm, hp.rms_eps)  # [B, D]
+        if layer.wqkv is not None:
+            rq, rk = hp.n_head * dk, hp.n_head_kv * dk
+            qkv = mm(layer.wqkv, h)
+            q_flat, k_flat, v_flat = (
+                qkv[:, :rq], qkv[:, rq : rq + rk], qkv[:, rq + rk :]
+            )
+        else:
+            q_flat = mm(layer.wq, h)
+            k_flat = mm(layer.wk, h)
+            v_flat = mm(layer.wv, h)
+
+        q = q_flat.reshape(B, hp.n_head, dk)
+        if layer.q_norm is not None:
+            q = _norm(q, layer.q_norm, hp.rms_eps)
+        q = rope(q, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale, pos=pos)
+        q = q * jnp.float32(hp.f_attention_scale)
+
+        src = hp.kv_source_layer(i)
+        if hp.layer_has_kv(i):
+            k = k_flat.reshape(B, hp.n_head_kv, dk)
+            if layer.k_norm is not None:
+                k = _norm(k, layer.k_norm, hp.rms_eps)
+            k = rope(k, n_rot=dk, freq_base=rope_base,
+                     freq_scale=hp.rope_freq_scale, pos=pos)
+            v = v_flat.reshape(B, hp.n_head_kv, dv)
+            if hp.architecture == "gemma4":
+                v = rms_norm(v, hp.rms_eps)
+            # per-lane scatter at (b, pos[b]); parked lanes (pos >= S) drop
+            new_k[src] = new_k[src].at[lanes, pos].set(
+                k.astype(new_k[src].dtype), mode="drop")
+            new_v[src] = new_v[src].at[lanes, pos].set(
+                v.astype(new_v[src].dtype), mode="drop")
+
+        S = new_k[src].shape[1]
+        lengths = jnp.where(pos >= S, 0, pos + 1)
+        if use_flash:
+            from ..ops.pallas.flash_decode import flash_decode
+
+            attn = flash_decode(
+                q, new_k[src], new_v[src], lengths, softcap=hp.attn_soft_cap or 0.0
+            ).reshape(B, hp.n_head * dv)
+        else:
+            attn = jax.vmap(
+                lambda qb, kb, vb, pb: _attention(
+                    qb[None], kb, vb, pos=pb, hp=hp, exact=False
+                )[0]
+            )(q, new_k[src], new_v[src], jnp.minimum(pos, S - 1))
+
+        attn = mm(layer.wo, attn)
+        if layer.post_attn_norm is not None:
+            attn = _norm(attn, layer.post_attn_norm, hp.rms_eps)
+        x = x + attn
+
+        h2 = _norm(x, layer.ffn_norm, hp.rms_eps)
+        if layer.w_gate_up is not None:
+            gu = mm(layer.w_gate_up, h2)
+            n_ff = gu.shape[-1] // 2
+            gate, up = gu[:, :n_ff], gu[:, n_ff:]
+        else:
+            gate = mm(layer.w_gate, h2)
+            up = mm(layer.w_up, h2)
+        ffn = mm(layer.w_down, gelu_tanh(gate) * up)
+        if layer.post_ffw_norm is not None:
+            ffn = _norm(ffn, layer.post_ffw_norm, hp.rms_eps)
+        x = x + ffn
+
+        if inp_per_layer is not None:
+            gate_out = gelu_tanh(mm(layer.per_layer_inp_gate, x))
+            gate_out = gate_out * inp_per_layer[:, i, :]
+            proj_out = mm(layer.per_layer_proj, gate_out)
+            proj_out = rms_norm(proj_out, hp.rms_eps) * layer.per_layer_post_norm.astype(jnp.float32)
+            x = x + proj_out
+        if layer.out_scale is not None:
+            x = x * layer.out_scale.reshape(())
+
+    x = _norm(x, w.output_norm, hp.rms_eps)  # [B, D]
+    logits = mm(w.token_embd, x)  # [B, vocab]
+    logits = softcap(logits, hp.final_logit_softcap)
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Callable, Optional
 
 import jax
@@ -34,7 +35,7 @@ import numpy as np
 
 from .engine import prefill_bucket
 from .gguf.reader import GGUFFile
-from .models.gemma import forward, init_cache
+from .models.gemma import forward, forward_batched_decode, init_cache
 from .models.weights import fuse_projections, layers_stackable, load_weights, stack_layers
 from .tokenizer import Tokenizer
 
@@ -51,6 +52,14 @@ class Request:
     slot: int = -1
     pos: int = 0
     pending: int = -1  # sampled but not yet consumed token
+    # timing (perf_counter seconds): submit -> first sampled token
+    t_submit: float = 0.0
+    t_first: float = 0.0
+
+    @property
+    def ttft_s(self) -> float:
+        """Time to first token (sampled at prefill), seconds."""
+        return max(0.0, self.t_first - self.t_submit)
 
 
 class BatchedServer:
@@ -62,6 +71,7 @@ class BatchedServer:
         max_batch: int = 8,
         mode: str = "serve",
         decode_chunk: int = 8,
+        max_admit_per_step: int = 2,
     ):
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
@@ -95,6 +105,7 @@ class BatchedServer:
         self.max_seq = max_seq
         self.max_batch = max_batch
         self.decode_chunk = decode_chunk
+        self.max_admit_per_step = max_admit_per_step
         hp = self.hparams
 
         def _prefill_slot(w, caches, slot, tokens, pos, n_valid):
@@ -121,7 +132,22 @@ class BatchedServer:
             return toks, c
 
         def _chunk_batched(w, caches, tokens, pos):
-            return jax.vmap(lambda c, t, p: _chunk_one(w, c, t, p))(caches, tokens, pos)
+            if exact:
+                # parity mode keeps the single-sequence exact forward
+                return jax.vmap(lambda c, t, p: _chunk_one(w, c, t, p))(caches, tokens, pos)
+
+            # serve modes: ONE batched program per step — single [B, .]
+            # GEMMs over the weights and ragged flash-decode attention
+            # (models/gemma.py forward_batched_decode)
+            def body(carry, _):
+                c, toks, p = carry
+                logits, c = forward_batched_decode(hp, w, c, toks, p)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (c, nxt, p + 1), nxt
+
+            (c, _, _), toks = jax.lax.scan(body, (caches, tokens, pos), None,
+                                           length=decode_chunk)
+            return jnp.moveaxis(toks, 0, 1), c  # [B, chunk]
 
         self._prefill = jax.jit(_prefill_slot, donate_argnums=(1,))
         self._chunk = jax.jit(_chunk_batched, donate_argnums=(1,))
@@ -153,13 +179,21 @@ class BatchedServer:
             )
         self._uid += 1
         req = Request(uid=self._uid, prompt_ids=list(prompt_ids),
-                      n_predict=n_predict, on_token=on_token)
+                      n_predict=n_predict, on_token=on_token,
+                      t_submit=time.perf_counter())
         self._queue.append(req)
         return req
 
     def _admit(self) -> None:
-        """Prefill queued requests into free slots (between decode chunks)."""
-        while self._queue and self._free:
+        """Prefill queued requests into free slots (between decode chunks).
+
+        At most ``max_admit_per_step`` prefills run per scheduler
+        iteration once requests are already decoding, bounding the
+        head-of-line blocking a burst of long prompts adds to in-flight
+        decodes; an idle engine admits as many as fit."""
+        budget = len(self._free) if not self._active else self.max_admit_per_step
+        while self._queue and self._free and budget > 0:
+            budget -= 1
             req = self._queue.pop(0)
             slot = self._free.pop(0)
             bucket = prefill_bucket(len(req.prompt_ids))
@@ -172,6 +206,7 @@ class BatchedServer:
             req.slot = slot
             req.pos = len(req.prompt_ids)
             req.pending = int(tok)
+            req.t_first = time.perf_counter()
             self._active[slot] = req
 
     def _emit(self, req: Request, tid: int) -> bool:
