@@ -114,19 +114,35 @@ class Engine:
             # fewer kernel launches per step; identical results (row concat
             # commutes with the contraction). Parity keeps per-tensor taps.
             self.weights = fuse_projections(self.weights)
-        # Homogeneous layer stacks can compile as one scanned body instead of
-        # n_layers unrolled copies (LLMI_SCAN_LAYERS=1). Opt-in: on v5e the
-        # scanned body compiles decode ~7x faster but blocks XLA's
-        # cross-layer scheduling (measured ~12% decode throughput loss).
+        # Stacked [n_layers, ...] weights serve two consumers: the
+        # scan-over-layers forward (prefill; opt-in for other modes via
+        # LLMI_SCAN_LAYERS=1) and the whole-step decode megakernel
+        # (ops/pallas/fused_decode.py), which serve-q8 uses by default on
+        # the TPU backend. Both read the SAME stacked arrays — one weight
+        # copy in HBM.
         want_scan = os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
+        want_mega = (
+            mode == "serve-q8"
+            and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
+            and (jax.default_backend() == "tpu" or os.environ.get("LLMI_FUSED_INTERPRET"))
+        )
         self._stacked = (
-            want_scan and mode != "parity"
+            (want_scan or want_mega) and mode != "parity"
             and layers_stackable(self.hparams, self.weights.layers)
         )
         if self._stacked:
-            self.weights = dataclasses.replace(
+            stacked = dataclasses.replace(
                 self.weights, layers=stack_layers(self.weights.layers)
             )
+            if want_mega and not want_scan:
+                from .models.gemma import _megakernel_enabled
+
+                if not _megakernel_enabled(self.hparams, stacked):
+                    stacked = None  # ineligible: keep the unrolled layout
+            if stacked is not None:
+                self.weights = stacked
+            else:
+                self._stacked = False
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq
         self.decode_chunk = decode_chunk

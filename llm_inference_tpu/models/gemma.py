@@ -309,20 +309,25 @@ def forward(
     n_valid = jnp.asarray(T if n_valid is None else n_valid, dtype=jnp.int32)
     pos = jnp.asarray(pos, dtype=jnp.int32)
 
-    if isinstance(w.layers, LayerWeights):  # stacked: scan-over-layers path
-        return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact)
+    if isinstance(w.layers, LayerWeights):  # stacked homogeneous layers
+        if (
+            not exact
+            and mm_impl == "auto"
+            and attention_impl == "fused"
+            and T == 1
+            and _megakernel_enabled(hp, w)
+        ):
+            # single-token serve decode: the ENTIRE step as one Pallas
+            # call with hand-rolled layer-granularity double buffering
+            # (ops/pallas/fused_decode.py).
+            from ..ops.pallas.fused_decode import decode_step_megakernel
 
-    if (
-        not exact
-        and mm_impl == "auto"
-        and attention_impl == "fused"
-        and T == 1
-        and _fused_decode_supported(hp, w)
-    ):
-        # single-token serve decode: one Pallas megakernel per layer
-        # boundary (ops/pallas/fused_decode.py) — ~14 kernels/layer and the
-        # tied-logits GEMV collapse into 27 streaming calls per step.
-        return _forward_fused_decode(hp, w, cache, tokens, pos)
+            interpret = bool(os.environ.get("LLMI_FUSED_INTERPRET"))
+            logits, kc, vc = decode_step_megakernel(
+                hp, w, cache, tokens[0], pos, interpret=interpret
+            )
+            return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
+        return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact)
 
     # Embedding gather + sqrt(n_embd) scale (reference model.cpp:710-712).
     x = tap("imp_embed", embed_rows(w.token_embd, tokens))  # [T, D] f32
@@ -417,96 +422,16 @@ def forward(
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
 
 
-def _fused_decode_supported(hp: HParams, w: ModelWeights) -> bool:
-    """Can this model run the fused decode megakernel path? Requires the
-    rowq8 (per-row int8) weight layout for every matmul in the chain, a
-    gemma3-style layer (no per-layer-input epilogue, no ALiBi, own KV per
-    layer, q/k norms), fused projections, and the TPU backend."""
-    if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
-        return False
+def _megakernel_enabled(hp: HParams, w: ModelWeights) -> bool:
+    """Whole-step decode megakernel gate: backend + env + eligibility
+    (ops/pallas/fused_decode.py megakernel_supported)."""
     if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
         return False
-    if w.token_embd_per_layer is not None or hp.architecture == "gemma4":
+    if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
-    if hp.f_max_alibi_bias > 0.0:
-        return False
-    from ..ops.pallas.fused_decode import _rowq8, block_supported
+    from ..ops.pallas.fused_decode import megakernel_supported
 
-    if not _rowq8(w.token_embd):
-        return False
-    layers = list(w.layers)
-    for i, lw in enumerate(layers):
-        if lw.wqkv is None or lw.q_norm is None or lw.k_norm is None:
-            return False
-        wn = layers[i + 1].wqkv if i + 1 < len(layers) else w.token_embd
-        if not block_supported(lw, wn):
-            return False
-        if not _rowq8(lw.wqkv):
-            return False
-        if not hp.layer_has_kv(i):
-            return False
-        if hp.is_swa_layer(i) and (
-            hp.n_embd_head_k_swa != hp.n_embd_head_k
-            or hp.n_embd_head_v_swa != hp.n_embd_head_v
-        ):
-            return False
-    return True
-
-
-def _forward_fused_decode(
-    hp: HParams,
-    w: ModelWeights,
-    cache: KVCache,
-    tokens: Array,  # [1] int32
-    pos: Array,
-) -> tuple[Array, KVCache]:
-    """Single-token decode via the fused layer megakernels
-    (ops/pallas/fused_decode.py): one Pallas call per layer covering
-    qkv-split/norms/rope/attention/Wo/FFN/next-QKV. Numerically the serve
-    path: bf16 activations against exact int8 weights (the mixed MXU dot
-    is exact for int8 operands), f32 residual stream. Only the embedding
-    gather, the rope tables, the per-layer KV row scatters, and the final
-    softcap/sampling remain XLA."""
-    from ..ops.pallas.fused_decode import fused_head, fused_layer
-
-    interpret = bool(os.environ.get("LLMI_FUSED_INTERPRET"))
-    pos = jnp.asarray(pos, dtype=jnp.int32)
-    layers = list(w.layers)
-    L = len(layers)
-    dk = hp.n_embd_head_k
-
-    x = embed_rows(w.token_embd, tokens)  # [1, D] f32
-    x = x * jnp.float32(math.sqrt(hp.embedding_length))
-
-    # rope tables, once per distinct base per step (reference ops.cpp:67-95)
-    half = dk // 2
-    tables = {}
-    for base in {hp.rope_base_for_layer(i) for i in range(L)}:
-        i_ = jnp.arange(half, dtype=jnp.float32)
-        freq = 1.0 / jnp.power(jnp.float32(base), 2.0 * i_ / dk)
-        val = pos.astype(jnp.float32) * freq / jnp.float32(hp.rope_freq_scale)
-        tables[base] = (jnp.cos(val)[None, :], jnp.sin(val)[None, :])
-
-    qkv = fused_head(x, layers[0].attn_norm, layers[0].wqkv,
-                     eps=hp.rms_eps, interpret=interpret)
-
-    new_k = list(cache.k)
-    new_v = list(cache.v)
-    n_valid = jnp.int32(1)
-
-    for i, layer in enumerate(layers):
-        cos, sin = tables[hp.rope_base_for_layer(i)]
-        next_norm = layers[i + 1].attn_norm if i + 1 < L else w.output_norm
-        wn = layers[i + 1].wqkv if i + 1 < L else w.token_embd
-        x, qkv, k_new, v_new = fused_layer(
-            pos, x, qkv, new_k[i], new_v[i], cos, sin, layer, next_norm, wn,
-            hp=hp, interpret=interpret,
-        )
-        new_k[i] = _write_cache(new_k[i], k_new[None], pos, n_valid)
-        new_v[i] = _write_cache(new_v[i], v_new[None], pos, n_valid)
-
-    logits = softcap(qkv[0], hp.final_logit_softcap)
-    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
+    return megakernel_supported(hp, w)
 
 
 def forward_batched_decode(

@@ -1,43 +1,44 @@
-"""Fused decode megakernel: one Pallas call per transformer layer.
+"""Whole-step decode megakernel: the ENTIRE forward pass in one Pallas call.
 
-The round-1 decode step launched ~4 Pallas matmuls plus ~14 XLA ops per
-layer; profiler-measured leaf time was bandwidth-honest but the step lost
-~45% to per-kernel fixed costs, rope/split/mask glue, and the VPU
-int8->bf16 dequant cast (tools/probe_kernels.py: casts cap any kernel at
-~520 GB/s while mixed bf16-activation x int8-weight ``dot_general`` runs
-the MXU at ~755 GB/s with EXACT int8 semantics — int8 is exactly
-representable in bf16).
+Why one call: profiling round-1 showed the decode step bandwidth-bound in
+its matmul kernels (~755 GB/s) but losing ~40% of the step to serial
+small-op latency — rope/mask/softmax glue and per-kernel fixed costs —
+during which the HBM pipe idles. Pallas' BlockSpec pipeline only
+prefetches one block ahead, so no per-layer call structure can hide a
+~17 us attention bubble behind a ~30 us weight stream. This kernel
+hand-rolls the pipeline instead (guide: double-buffering pattern): all of
+layer l+1's weights and KV cache DMA into one of two VMEM buffer sets
+while layer l computes, so the serial attention chain rides under the
+weight stream. v5e has 128 MiB of VMEM — a whole 1B-class layer
+(~27 MB x 2 buffers) fits with room for the tied-logits tiles.
 
-One call covers the ENTIRE layer given the previous call's fused-QKV
-output:
+One decode step = one call:
 
-    qkv -> split -> q/k norms -> RoPE -> attention over the KV cache
-      (masked online softmax + explicit self term for the new token)
-      -> Wo -> [post_attn_norm] -> +x -> ffn_norm
-      -> gate/up matmuls -> gelu_tanh * up -> down matmul
-      -> [post_ffw_norm] -> +x2 -> next_norm -> W_next matmul
+  token -> embedding row (DMA at token id) -> per layer l in a fori_loop:
+    attn_norm -> fused QKV matmul -> split/q-k-norms/RoPE ->
+    KV row write (VMEM + async row writeback to the HBM cache, aliased
+    in/out) -> masked-softmax attention over the layer's cache (VMEM) ->
+    Wo -> [post_attn_norm] -> residual -> ffn_norm -> gate/up -> geglu ->
+    down -> [post_ffw_norm] -> residual
+  -> final norm -> tied-embedding logits, tiled + double-buffered, each
+  [1, TN] tile DMA'd straight to the HBM logits output.
 
-``W_next`` is the NEXT layer's fused QKV projection — or, for the last
-layer, the tied-embedding logits matrix (final norm + logits GEMV ride
-the same grid). The FFN is tiled along the hidden-ffn axis (gate rows /
-up rows / down COLUMNS share a tile index, so no [1, n_ff] intermediate
-ever exists); the next-matmul is tiled along its rows. Weights stream
-HBM->VMEM double-buffered across the grid. The only XLA left per layer
-is the two KV-cache row writes (the kernel emits the roped K / V, the
-caller scatters them — reference contrast: model.cpp:461-474 grows
-vectors; here the new row also feeds an explicit self-attention term so
-the kernel never needs the updated cache).
+All matmuls are mixed bf16-activation x int8-weight MXU dots — EXACT for
+int8 weights (int8 fits bf16's 8-bit mantissa) and ~755 GB/s vs ~520 GB/s
+for any kernel that casts int8 weights on the VPU (tools/probe_kernels.py).
+Weights are per-row int8 (rowq8; quant/device.py requantize_rowwise) in
+the scan-stacked [L, ...] layout (models/weights.py stack_layers), shared
+with the scan-over-layers prefill — no duplicate weight copy in HBM.
 
-Weight format: per-row int8 (QuantTensor with group_size == cols,
-quant/device.py requantize_rowwise) — scales applied to the [1, tile]
-outputs, never expanded. Reference counterpart of the chain:
-model.cpp:751-841 (QKV/rope/attention), :843-854, :857-924 (FFN),
-:983-1034 (final norm + tied logits).
+Reference counterpart of the chain: model.cpp:706-1049 (forward),
+:461-474 (cache append -> here an in-place row DMA), :983-1034 (final
+norm + tied logits).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -48,20 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ...quant.device import QuantTensor
 
 LANE = 128
-
-
-def _pick_tile(total: int, width: int, budget: int, lane: int = LANE) -> int:
-    """Largest row tile t dividing ``total`` with t % lane == 0 and
-    t * width bytes <= budget (int8)."""
-    best = 0
-    t = lane
-    while t <= total:
-        if total % t == 0 and t * width <= budget:
-            best = t
-        t += lane
-    if best == 0:
-        raise ValueError(f"no lane-aligned tile for total={total} width={width}")
-    return best
+_VMEM_LIMIT = 127 * 1024 * 1024
+# VMEM budget for the double-buffered whole-layer weight set + logits tiles
+_BUFFER_BUDGET = 100 * 1024 * 1024
+_LOGITS_TILE = 4096
 
 
 def _rms(v: Array, eps: float) -> Array:
@@ -79,7 +70,8 @@ def _mixed_dot(x_bf16: Array, w_int8: Array) -> Array:
 
 
 def _rope_rows(x: Array, cos: Array, sin: Array) -> Array:
-    """NeoX split-half rotary on [rows, dk] with [1, dk//2] cos/sin."""
+    """NeoX split-half rotary on [rows, dk] with [1, dk//2] cos/sin
+    (reference ops.cpp:67-95)."""
     half = cos.shape[1]
     x0 = x[:, :half]
     x1 = x[:, half : 2 * half]
@@ -90,367 +82,412 @@ def _rope_rows(x: Array, cos: Array, sin: Array) -> Array:
     return jnp.concatenate([r0, r1], axis=1)
 
 
-def _make_layer_kernel(
-    *, nf: int, eps: float, attn_scale: float, softcap: float,
-    H: int, Hkv: int, dk: int, dv: int,
-    has_post_attn: bool, has_post_ffw: bool,
-):
-    """Kernel for grid j in [0, nf + nn): step 0 additionally runs
-    attention + output projection; j < nf runs FFN tile j; step nf
-    finalizes the FFN residual; j >= nf runs next-matmul tile j - nf."""
-    group = H // Hkv
-
-    def kernel(pos_ref, x_ref, qkv_ref, kc_ref, vc_ref, cos_ref, sin_ref,
-               qn_w, kn_w, wo_q, wo_s, ffn_w, *rest):
-        idx = 0
-        pa_w = pf_w = None
-        if has_post_attn:
-            pa_w = rest[idx]; idx += 1
-        if has_post_ffw:
-            pf_w = rest[idx]; idx += 1
-        (wg_q, wg_s, wu_q, wu_s, wd_q, wd_s, nn_w, wn_q, wn_s,
-         x3_out, y_out, kn_out, vn_out, x2_s, h2_s, y3_s, h3_s) = rest[idx:]
-
-        j = pl.program_id(0)
-
-        @pl.when(j == 0)
-        def _():
-            pos = pos_ref[0]
-            S = kc_ref.shape[0]
-            qkv = qkv_ref[:]  # [1, Rq] f32
-            q = qkv[:, : H * dk].reshape(H, dk)
-            k = qkv[:, H * dk : H * dk + Hkv * dk].reshape(Hkv, dk)
-            v = qkv[:, H * dk + Hkv * dk :].reshape(Hkv, dv)
-            q = _rms(q, eps) * qn_w[:]
-            k = _rms(k, eps) * kn_w[:]
-            cos, sin = cos_ref[:], sin_ref[:]
-            q = _rope_rows(q, cos, sin) * jnp.float32(attn_scale)
-            k = _rope_rows(k, cos, sin)
-            kb = k.astype(jnp.bfloat16)
-            vb = v.astype(jnp.bfloat16)
-            kn_out[:] = kb
-            vn_out[:] = vb
-            qb = q.astype(jnp.bfloat16)
-
-            ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-            valid = ids < pos  # strictly-older rows; the new token is the
-            # explicit self term below (cache row `pos` is written by the
-            # caller after this kernel)
-
-            outs = []
-            for i in range(Hkv):
-                qi = qb[i * group : (i + 1) * group, :]  # [G, dk] bf16
-                ki = kc_ref[:, i, :]  # [S, dk] bf16
-                s = jax.lax.dot_general(
-                    qi, ki, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [G, S]
-                s_self = jnp.sum(
-                    qi.astype(jnp.float32) * kb[i : i + 1].astype(jnp.float32),
-                    axis=1, keepdims=True,
-                )  # [G, 1]
-                if softcap > 0.0:
-                    s = softcap * jnp.tanh(s / softcap)
-                    s_self = softcap * jnp.tanh(s_self / softcap)
-                s = jnp.where(valid, s, -jnp.inf)
-                m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_self)
-                p = jnp.where(valid, jnp.exp(s - m), 0.0)  # [G, S]
-                p_self = jnp.exp(s_self - m)  # [G, 1]
-                denom = jnp.sum(p, axis=1, keepdims=True) + p_self
-                vi = vc_ref[:, i, :]  # [S, dv] bf16
-                pv = jax.lax.dot_general(
-                    p.astype(jnp.bfloat16), vi,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [G, dv]
-                pv = pv + p_self * vb[i : i + 1].astype(jnp.float32)
-                outs.append(pv / denom)
-            attn = outs[0] if Hkv == 1 else jnp.concatenate(outs, axis=0)
-            attn_flat = attn.reshape(1, H * dv).astype(jnp.bfloat16)
-
-            y = _mixed_dot(attn_flat, wo_q[:]) * wo_s[:, 0][None, :]  # [1, D]
-            if has_post_attn:
-                y = _rms(y, eps) * pa_w[:]
-            x2 = x_ref[:] + y
-            x2_s[:] = x2
-            h2_s[:] = (_rms(x2, eps) * ffn_w[:]).astype(jnp.bfloat16)
-            y3_s[:] = jnp.zeros_like(x2)
-
-        @pl.when(j < nf)
-        def _():
-            h2 = h2_s[:]
-            g = _mixed_dot(h2, wg_q[:]) * wg_s[:, 0][None, :]  # [1, tf]
-            u = _mixed_dot(h2, wu_q[:]) * wu_s[:, 0][None, :]
-            # gelu_tanh (reference model.cpp:884-889)
-            c = jnp.float32(0.7978845608028654)
-            a = 0.5 * g * (1.0 + jnp.tanh(c * (g + 0.044715 * g * g * g))) * u
-            y3_s[:] += jax.lax.dot_general(
-                a.astype(jnp.bfloat16), wd_q[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        @pl.when(j == nf)
-        def _():
-            y3 = y3_s[:] * wd_s[:, 0][None, :]
-            if has_post_ffw:
-                y3 = _rms(y3, eps) * pf_w[:]
-            x3 = x2_s[:] + y3
-            x3_out[:] = x3
-            h3_s[:] = (_rms(x3, eps) * nn_w[:]).astype(jnp.bfloat16)
-
-        @pl.when(j >= nf)
-        def _():
-            y_out[:] = _mixed_dot(h3_s[:], wn_q[:]) * wn_s[:, 0][None, :]
-
-    return kernel
-
-
-def _make_head_kernel(eps: float):
-    """Degenerate block (no layer part): next_norm + next-matmul only —
-    the step-0 prologue (embedding -> attn_norm -> QKV)."""
-
-    def kernel(x_ref, nn_w, wn_q, wn_s, y_out, h3_s):
-        j = pl.program_id(0)
-
-        @pl.when(j == 0)
-        def _():
-            h3_s[:] = (_rms(x_ref[:], eps) * nn_w[:]).astype(jnp.bfloat16)
-
-        y_out[:] = _mixed_dot(h3_s[:], wn_q[:]) * wn_s[:, 0][None, :]
-
-    return kernel
-
-
 def _rowq8(w) -> bool:
     return isinstance(w, QuantTensor) and w.groups == 1
 
 
-def block_supported(lw, wn) -> bool:
-    """Layer + next-weight eligible for the fused layer kernel?"""
-    parts = [lw.wo, lw.w_gate_up, lw.w_down, wn]
-    if not all(p is not None and _rowq8(p) for p in parts):
-        return False
-    if lw.per_layer_inp_gate is not None or lw.out_scale is not None:
-        return False  # gemma4 epilogue not fused
-    D = lw.w_down.rows
+def _sizes(hp, lw, token_embd):
+    D = hp.embedding_length
     F = lw.w_down.cols
-    if lw.w_gate_up.rows != 2 * F or lw.wo.rows != D:
-        return False
-    if D % LANE or F % LANE or wn.cols != D or wn.rows % LANE:
-        return False
-    try:
-        _pick_tile(F, D, _TILE_BUDGET)
-        _pick_tile(wn.rows, D, _NEXT_BUDGET)
-    except ValueError:
-        return False
-    return True
+    Rq = lw.wqkv.rows
+    Adim = lw.wo.cols
+    V = token_embd.rows
+    return D, F, Rq, Adim, V
 
 
-# VMEM budget for one streamed weight tile (int8 bytes). Mosaic
-# double-buffers EVERY input block (const-mapped ones included), and the
-# gate/up/down tiles are live together. v5e has 128 MiB of VMEM — the
-# compiler's default 16 MiB scoped limit is raised via CompilerParams so
-# the tiles can be megabytes (few grid steps -> per-step fixed cost
-# amortized; measured 470 GB/s with 0.44 MB tiles vs ~755 GB/s ceiling).
-_TILE_BUDGET = int(2.75 * 1024 * 1024)
-_NEXT_BUDGET = 6 * 1024 * 1024
-_VMEM_LIMIT = 100 * 1024 * 1024
+def megakernel_supported(hp, w) -> bool:
+    """Whole-step megakernel eligibility: scan-stacked homogeneous layers
+    with rowq8 weights everywhere, gemma3-style attention (own KV per
+    layer, q/k norms, no ALiBi, uniform head dims), and a double-buffered
+    whole-layer weight set that fits VMEM."""
+    lw = w.layers
+    from ...models.weights import LayerWeights
+
+    if not isinstance(lw, LayerWeights):  # needs the stacked layout
+        return False
+    if w.token_embd_per_layer is not None or hp.architecture == "gemma4":
+        return False
+    if hp.f_max_alibi_bias > 0.0:
+        return False
+    parts = [lw.wqkv, lw.wo, lw.w_gate_up, lw.w_down, w.token_embd]
+    if any(p is None or not _rowq8(p) for p in parts):
+        return False
+    if lw.q_norm is None or lw.k_norm is None:
+        return False
+    if hp.n_embd_head_k != hp.n_embd_head_k_swa or hp.n_embd_head_v != hp.n_embd_head_v_swa:
+        return False
+    D, F, Rq, Adim, V = _sizes(hp, lw, w.token_embd)
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    if D % LANE or F % LANE or Adim % LANE or dk % LANE or dv % LANE:
+        return False
+    if V <= _LOGITS_TILE:
+        if V % LANE:
+            return False
+    elif V % _LOGITS_TILE:
+        return False
+    if Rq != hp.n_head * dk + hp.n_head_kv * (dk + dv):
+        return False
+    # double-buffered whole-layer weights + caches + logits tiles in VMEM
+    S = None  # cache length checked at call time (any S works)
+    layer_bytes = Rq * D + D * Adim + 2 * F * D + D * F
+    need = 2 * layer_bytes + 2 * _LOGITS_TILE * D
+    return need <= _BUFFER_BUDGET
+
+
+def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
+                 eps, attn_scale, softcap, has_pa, has_pf):
+    group = H // Hkv
+    nt = V // TN
+    n_wdma = 10  # weight copies + the layer's K/V cache copies
+
+    def kernel(*refs):
+        idx = 0
+
+        def nxt():
+            nonlocal idx
+            r = refs[idx]
+            idx += 1
+            return r
+
+        token_r, pos_r, base_idx_r = nxt(), nxt(), nxt()
+        cos_r, sin_r = nxt(), nxt()
+        an_r, fn_r, qn_r, kn_r, on_r = nxt(), nxt(), nxt(), nxt(), nxt()
+        pan_r = nxt() if has_pa else None
+        pfn_r = nxt() if has_pf else None
+        (wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s,
+         emb_q, emb_s, kc, vc) = [nxt() for _ in range(12)]
+        logits_out, kc_out, vc_out = nxt(), nxt(), nxt()
+        (wqkv_b, wqkv_sb, wo_b, wo_sb, gu_b, gu_sb, wd_b, wd_sb,
+         kb, vb, emb_b, emb_sb, lw_b, lw_sb, lo_b, x_s, h_s) = [nxt() for _ in range(17)]
+        wsem, wbsem, lsem, osem, esem = [nxt() for _ in range(5)]
+
+        tok = token_r[0]
+        p = pos_r[0]
+
+        def layer_copies(l, b):
+            cs = [
+                pltpu.make_async_copy(wqkv_q.at[l], wqkv_b.at[b], wsem.at[b, 0]),
+                pltpu.make_async_copy(wqkv_s.at[l], wqkv_sb.at[b], wsem.at[b, 1]),
+                pltpu.make_async_copy(wo_q.at[l], wo_b.at[b], wsem.at[b, 2]),
+                pltpu.make_async_copy(wo_s.at[l], wo_sb.at[b], wsem.at[b, 3]),
+                pltpu.make_async_copy(gu_q.at[l], gu_b.at[b], wsem.at[b, 4]),
+                pltpu.make_async_copy(gu_s.at[l], gu_sb.at[b], wsem.at[b, 5]),
+                pltpu.make_async_copy(wd_q.at[l], wd_b.at[b], wsem.at[b, 6]),
+                pltpu.make_async_copy(wd_s.at[l], wd_sb.at[b], wsem.at[b, 7]),
+            ]
+            cs.append(pltpu.make_async_copy(kc.at[l], kb.at[b], wsem.at[b, 8]))
+            cs.append(pltpu.make_async_copy(vc.at[l], vb.at[b], wsem.at[b, 9]))
+            return cs
+
+        # embedding row at the token id: int8 HBM is (32, 128)-tiled, so
+        # DMA the aligned 32-row window around the token and mask-select;
+        # the scale row is [1, V] lane-major -> aligned 128-wide window
+        tok0 = pl.multiple_of((tok // 32) * 32, 32)
+        tokl = pl.multiple_of((tok // 128) * 128, 128)
+        e0 = pltpu.make_async_copy(emb_q.at[pl.ds(tok0, 32)], emb_b, esem.at[0])
+        e1 = pltpu.make_async_copy(emb_s.at[:, pl.ds(tokl, 128)], emb_sb, esem.at[1])
+        e0.start()
+        e1.start()
+        for c in layer_copies(0, 0):
+            c.start()
+        e0.wait()
+        e1.wait()
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) == tok - tok0)
+        row = jnp.sum(jnp.where(rowsel, emb_b[:].astype(jnp.float32), 0.0),
+                      axis=0, keepdims=True)
+        lanesel = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == tok - tokl)
+        scale = jnp.sum(jnp.where(lanesel, emb_sb[:], 0.0))
+        x_s[:] = row * scale * jnp.float32(math.sqrt(D))
+
+        def body(l, carry):
+            b = jax.lax.rem(l, 2)
+
+            @pl.when(l + 1 < L)
+            def _():
+                for c in layer_copies(l + 1, 1 - b):
+                    c.start()
+
+            for c in layer_copies(l, b):
+                c.wait()
+
+            x = x_s[:]
+            h = (_rms(x, eps) * an_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
+            qkv = _mixed_dot(h, wqkv_b[b]) * wqkv_sb[b]  # [1, Rq]
+
+            q = qkv[:, : H * dk].reshape(H, dk)
+            k = qkv[:, H * dk : H * dk + Hkv * dk].reshape(Hkv, dk)
+            v = qkv[:, H * dk + Hkv * dk :].reshape(Hkv, dv)
+            q = _rms(q, eps) * qn_r[pl.ds(l, 1), :]
+            k = _rms(k, eps) * kn_r[pl.ds(l, 1), :]
+            bi = base_idx_r[l]
+            cos = cos_r[pl.ds(bi, 1), :]
+            sin = sin_r[pl.ds(bi, 1), :]
+            q = _rope_rows(q, cos, sin) * jnp.float32(attn_scale)
+            k = _rope_rows(k, cos, sin)
+            kbv = k.astype(jnp.bfloat16)
+            vbv = v.astype(jnp.bfloat16)
+            qb = q.astype(jnp.bfloat16)
+
+            # the new token's K/V row: bf16 VMEM is (16, 128)-tiled, so
+            # read-modify-write the aligned 16-row window of the VMEM cache
+            # copy (attention then sees the new row at slot p) and DMA the
+            # same window back to the HBM cache (aliased in/out).
+            p0 = pl.multiple_of((p // 16) * 16, 16)
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) == p - p0
+            kwin = kb[b, pl.ds(p0, 16), :]  # [16, Hkv*dk]
+            vwin = vb[b, pl.ds(p0, 16), :]
+            kb[b, pl.ds(p0, 16), :] = jnp.where(
+                rsel, kbv.reshape(1, Hkv * dk), kwin)
+            vb[b, pl.ds(p0, 16), :] = jnp.where(
+                rsel, vbv.reshape(1, Hkv * dv), vwin)
+            wk = pltpu.make_async_copy(
+                kb.at[b, pl.ds(p0, 16), :], kc_out.at[l, pl.ds(p0, 16), :],
+                wbsem.at[0])
+            wv = pltpu.make_async_copy(
+                vb.at[b, pl.ds(p0, 16), :], vc_out.at[l, pl.ds(p0, 16), :],
+                wbsem.at[1])
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
+            ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+            valid = ids <= p  # the new token's row is in the window above
+            outs = []
+            for i in range(Hkv):
+                qi = qb[i * group : (i + 1) * group, :]  # [G, dk]
+                ki = kb[b][:, i * dk : (i + 1) * dk]  # [S, dk]
+                s = jax.lax.dot_general(
+                    qi, ki,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, S]
+                if softcap > 0.0:
+                    s = softcap * jnp.tanh(s / softcap)
+                s = jnp.where(valid, s, -jnp.inf)
+                m = jnp.max(s, axis=1, keepdims=True)
+                pr = jnp.where(valid, jnp.exp(s - m), 0.0)
+                denom = jnp.sum(pr, axis=1, keepdims=True)
+                vi = vb[b][:, i * dv : (i + 1) * dv]  # [S, dv]
+                pv = jax.lax.dot_general(
+                    pr.astype(jnp.bfloat16), vi,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, dv]
+                outs.append(pv / denom)
+            attn = outs[0] if Hkv == 1 else jnp.concatenate(outs, axis=0)
+            attn_flat = attn.reshape(1, H * dv).astype(jnp.bfloat16)
+
+            y = _mixed_dot(attn_flat, wo_b[b]) * wo_sb[b]
+            if has_pa:
+                y = _rms(y, eps) * pan_r[pl.ds(l, 1), :]
+            x2 = x + y
+            h2 = (_rms(x2, eps) * fn_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
+            gu = _mixed_dot(h2, gu_b[b]) * gu_sb[b]  # [1, 2F]
+            g = gu[:, :F]
+            u = gu[:, F:]
+            c = jnp.float32(0.7978845608028654)
+            a = 0.5 * g * (1.0 + jnp.tanh(c * (g + 0.044715 * g * g * g))) * u
+            y3 = jax.lax.dot_general(
+                a.astype(jnp.bfloat16), wd_b[b],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * wd_sb[b]
+            if has_pf:
+                y3 = _rms(y3, eps) * pfn_r[pl.ds(l, 1), :]
+            x_s[:] = x2 + y3
+            return carry
+
+        jax.lax.fori_loop(0, L, body, 0)
+
+        h_s[:] = (_rms(x_s[:], eps) * on_r[:]).astype(jnp.bfloat16)
+
+        # tied-embedding logits, tiled + double-buffered, DMA'd straight out
+        def lcopies(t, s_):
+            off = pl.multiple_of(t * TN, 128)
+            return [
+                pltpu.make_async_copy(emb_q.at[pl.ds(off, TN)], lw_b.at[s_],
+                                      lsem.at[s_, 0]),
+                pltpu.make_async_copy(emb_s.at[:, pl.ds(off, TN)], lw_sb.at[s_],
+                                      lsem.at[s_, 1]),
+            ]
+
+        def ocopy(t, s_):
+            off = pl.multiple_of(t * TN, 128)
+            return pltpu.make_async_copy(
+                lo_b.at[s_], logits_out.at[:, pl.ds(off, TN)], osem.at[s_])
+
+        for c in lcopies(0, 0):
+            c.start()
+
+        def lbody(t, carry):
+            s_ = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < nt)
+            def _():
+                for c in lcopies(t + 1, 1 - s_):
+                    c.start()
+
+            for c in lcopies(t, s_):
+                c.wait()
+
+            @pl.when(t >= 2)
+            def _():
+                ocopy(t - 2, s_).wait()
+
+            lo_b[s_] = _mixed_dot(h_s[:], lw_b[s_]) * lw_sb[s_]
+            ocopy(t, s_).start()
+            return carry
+
+        jax.lax.fori_loop(0, nt, lbody, 0)
+        for t in range(max(0, nt - 2), nt):
+            ocopy(t, t % 2).wait()
+
+    return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
-        "has_post_attn", "has_post_ffw", "interpret",
-    ),
+    static_argnames=("eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
+                     "has_pa", "has_pf", "interpret"),
 )
-def _run_layer(
-    pos, x, qkv, kc, vc, cos, sin, qn_w, kn_w,
-    wo_q, wo_s, gu_q, gu_s, wd_q, wd_s, nn_w, wn_q, wn_s,
-    ffn_w, pa_w, pf_w,
-    *, eps, attn_scale, softcap, H, Hkv, dk, dv,
-    has_post_attn, has_post_ffw, interpret=False,
+def _run_step(
+    token, pos, base_idx, cos, sin, an, fn_, qn, kn, on, pan, pfn,
+    wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s, emb_q, emb_s, kc, vc,
+    *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
+    interpret=False,
 ):
-    D = x.shape[1]
-    F = wd_q.shape[1]
-    Rn = wn_q.shape[0]
-    S = kc.shape[0]
-    Adim = H * dv
-    tf = _pick_tile(F, D, _TILE_BUDGET)
-    tn = _pick_tile(Rn, D, _NEXT_BUDGET)
-    nf = F // tf
-    nn = Rn // tn
-    grid = (nf + nn,)
+    L, Rq, D = wqkv_q.shape
+    F = wd_q.shape[2]
+    Adim = wo_q.shape[2]
+    V = emb_q.shape[0]
+    S = kc.shape[1]  # kc is the flat [L, S, Hkv*dk] view
+    TN = V if V <= _LOGITS_TILE else _LOGITS_TILE
+    if S % 16:
+        raise ValueError(f"megakernel needs max_seq % 16 == 0, got {S}")
+    if V % 32 or TN % LANE:
+        raise ValueError(f"megakernel needs vocab % 32 == 0, got {V}")
 
-    def const2(j):
-        return (0, 0)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = pl.BlockSpec(memory_space=pl.ANY)
 
-    def const3(j):
-        return (0, 0, 0)
+    in_specs = [smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem]
+    args = [token, pos, base_idx, cos, sin, an, fn_, qn, kn, on]
+    if has_pa:
+        in_specs.append(vmem)
+        args.append(pan)
+    if has_pf:
+        in_specs.append(vmem)
+        args.append(pfn)
+    in_specs += [anym] * 12
+    args += [wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s,
+             emb_q, emb_s, kc, vc]
+    kc_idx = len(args) - 2  # input positions of the aliased caches
+    vc_idx = len(args) - 1
 
-    def ffn_map(j):
-        return (jnp.minimum(j, nf - 1), 0)
-
-    def up_map(j):
-        return (nf + jnp.minimum(j, nf - 1), 0)  # up rows follow gate rows
-
-    def down_map(j):
-        return (0, jnp.minimum(j, nf - 1))
-
-    def next_map(j):
-        return (jnp.maximum(j - nf, 0), 0)
-
-    def vspec(shape, index_map):
-        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
-
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),          # pos [1]
-        vspec((1, D), const2),                          # x
-        vspec((1, qkv.shape[1]), const2),               # qkv
-        vspec((S, Hkv, dk), const3),                    # k cache
-        vspec((S, Hkv, dv), const3),                    # v cache
-        vspec((1, dk // 2), const2),                    # cos
-        vspec((1, dk // 2), const2),                    # sin
-        vspec((1, dk), const2),                         # q_norm w
-        vspec((1, dk), const2),                         # k_norm w
-        vspec((D, Adim), const2),                       # wo_q
-        vspec((D, 1), const2),                          # wo_s
-        vspec((1, D), const2),                          # ffn_w
-    ]
-    args = [pos, x, qkv, kc, vc, cos, sin, qn_w, kn_w, wo_q, wo_s, ffn_w]
-    if has_post_attn:
-        in_specs.append(vspec((1, D), const2))
-        args.append(pa_w)
-    if has_post_ffw:
-        in_specs.append(vspec((1, D), const2))
-        args.append(pf_w)
-    in_specs += [
-        vspec((tf, D), ffn_map),                        # wg_q
-        vspec((tf, 1), ffn_map),                        # wg_s
-        vspec((tf, D), up_map),                         # wu_q
-        vspec((tf, 1), up_map),                         # wu_s
-        vspec((D, tf), down_map),                       # wd_q
-        vspec((D, 1), const2),                          # wd_s
-        vspec((1, D), const2),                          # nn_w
-        vspec((tn, D), next_map),                       # wn_q
-        vspec((tn, 1), next_map),                       # wn_s
-    ]
-    args += [gu_q, gu_s, gu_q, gu_s, wd_q, wd_s, nn_w, wn_q, wn_s]
-
-    kernel = _make_layer_kernel(
-        nf=nf, eps=eps, attn_scale=attn_scale, softcap=softcap,
-        H=H, Hkv=Hkv, dk=dk, dv=dv,
-        has_post_attn=has_post_attn, has_post_ffw=has_post_ffw,
+    kernel = _make_kernel(
+        L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim, V=V,
+        S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
+        has_pa=has_pa, has_pf=has_pf,
     )
     return pl.pallas_call(
         kernel,
-        grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            vspec((1, D), const2),
-            pl.BlockSpec((1, tn), lambda j: (0, jnp.maximum(j - nf, 0)),
-                         memory_space=pltpu.VMEM),
-            vspec((Hkv, dk), const2),
-            vspec((Hkv, dv), const2),
-        ),
+        out_specs=(anym, anym, anym),
         out_shape=(
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, Rn), jnp.float32),
-            jax.ShapeDtypeStruct((Hkv, dk), jnp.bfloat16),
-            jax.ShapeDtypeStruct((Hkv, dv), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, V), jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ),
+        input_output_aliases={kc_idx: 1, vc_idx: 2},
         scratch_shapes=[
-            pltpu.VMEM((1, D), jnp.float32),   # x2
-            pltpu.VMEM((1, D), jnp.bfloat16),  # h2
-            pltpu.VMEM((1, D), jnp.float32),   # y3
-            pltpu.VMEM((1, D), jnp.bfloat16),  # h3
+            pltpu.VMEM((2, Rq, D), jnp.int8),
+            pltpu.VMEM((2, 1, Rq), jnp.float32),
+            pltpu.VMEM((2, D, Adim), jnp.int8),
+            pltpu.VMEM((2, 1, D), jnp.float32),
+            pltpu.VMEM((2, 2 * F, D), jnp.int8),
+            pltpu.VMEM((2, 1, 2 * F), jnp.float32),
+            pltpu.VMEM((2, D, F), jnp.int8),
+            pltpu.VMEM((2, 1, D), jnp.float32),
+            pltpu.VMEM((2, S, Hkv * dk), kc.dtype),
+            pltpu.VMEM((2, S, Hkv * dv), vc.dtype),
+            pltpu.VMEM((32, D), jnp.int8),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((2, TN, D), jnp.int8),
+            pltpu.VMEM((2, 1, TN), jnp.float32),
+            pltpu.VMEM((2, 1, TN), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+            pltpu.VMEM((1, D), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 10)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * (D * Adim + 3 * D * F + D * Rn + H * dk * S + H * dv * S),
-            bytes_accessed=D * Adim + 3 * D * F + D * Rn + 2 * S * Hkv * dk,
-            transcendentals=F + H * S,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * (Rq * D + D * Adim + 3 * D * F) + 2 * V * D,
+            bytes_accessed=L * (Rq * D + D * Adim + 3 * D * F) + V * D
+            + 2 * L * S * Hkv * dk,
+            transcendentals=L * (F + H * S),
+        ),
         interpret=interpret,
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
-def _run_head(x, nn_w, wn_q, wn_s, *, eps, interpret=False):
-    D = x.shape[1]
-    Rn = wn_q.shape[0]
-    tn = _pick_tile(Rn, D, _NEXT_BUDGET)
-    nn = Rn // tn
+def decode_step_megakernel(hp, w, cache, token, pos, *, interpret=False):
+    """One single-token decode step as one Pallas call. ``w.layers`` must
+    be the stacked LayerWeights; ``cache`` the stacked KV cache. Returns
+    (logits [vocab] f32 — softcap applied by the caller, new cache arrays)."""
+    lw = w.layers
+    L = lw.wqkv.q.shape[0]
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    half = dk // 2
 
-    return pl.pallas_call(
-        _make_head_kernel(eps),
-        grid=(nn,),
-        in_specs=[
-            pl.BlockSpec((1, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, Rn), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, D), jnp.bfloat16)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * D * Rn, bytes_accessed=D * Rn, transcendentals=0
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(x, nn_w, wn_q, wn_s)
+    # rope tables per distinct base (reference ops.cpp:67-95)
+    bases = sorted({hp.rope_base_for_layer(i) for i in range(L)})
+    base_idx = jnp.asarray(
+        [bases.index(hp.rope_base_for_layer(i)) for i in range(L)],
+        dtype=jnp.int32,
+    )
+    pos_f = jnp.asarray(pos, dtype=jnp.float32)
+    i_ = jnp.arange(half, dtype=jnp.float32)
+    rows = []
+    for b in bases:
+        freq = 1.0 / jnp.power(jnp.float32(b), 2.0 * i_ / dk)
+        rows.append(pos_f * freq / jnp.float32(hp.rope_freq_scale))
+    val = jnp.stack(rows)  # [nb, half]
+    cos, sin = jnp.cos(val), jnp.sin(val)
 
-
-def fused_layer(
-    pos: Array,        # scalar int32 absolute position of the new token
-    x: Array,          # [1, D] f32 residual stream
-    qkv: Array,        # [1, H*dk + Hkv*(dk+dv)] f32 fused-QKV output
-    k_cache: Array,    # [S, Hkv, dk] bf16
-    v_cache: Array,    # [S, Hkv, dv] bf16
-    cos: Array,        # [1, dk//2] f32 rope table for this layer's base
-    sin: Array,
-    lw,                # LayerWeights with rowq8 wo / w_gate_up / w_down
-    next_norm: Array,  # [D] next attn_norm or output_norm
-    wn: QuantTensor,   # rowq8 next QKV or tied-embedding logits weight
-    *,
-    hp,
-    interpret: bool = False,
-) -> tuple[Array, Array, Array, Array]:
-    """One fused layer; returns (x_next [1, D], y_next [1, Rn],
-    k_new [Hkv, dk] bf16, v_new [Hkv, dv] bf16). The caller scatters
-    k_new/v_new into the cache at row ``pos``."""
-    pa = lw.post_attn_norm
-    pf = lw.post_ffw_norm
-    zeros = jnp.zeros((1, x.shape[1]), jnp.float32)
-    ones_dk = jnp.ones((1, k_cache.shape[2]), jnp.float32)
-    return _run_layer(
-        jnp.asarray(pos, dtype=jnp.int32)[None], x, qkv, k_cache, v_cache,
-        cos, sin,
-        lw.q_norm.astype(jnp.float32)[None, :] if lw.q_norm is not None else ones_dk,
-        lw.k_norm.astype(jnp.float32)[None, :] if lw.k_norm is not None else ones_dk,
-        lw.wo.q, lw.wo.scale, lw.w_gate_up.q, lw.w_gate_up.scale,
-        lw.w_down.q, lw.w_down.scale,
-        next_norm.astype(jnp.float32)[None, :], wn.q, wn.scale,
-        lw.ffn_norm.astype(jnp.float32)[None, :],
-        pa.astype(jnp.float32)[None, :] if pa is not None else zeros,
-        pf.astype(jnp.float32)[None, :] if pf is not None else zeros,
-        eps=hp.rms_eps,
-        attn_scale=hp.f_attention_scale,
+    f32 = jnp.float32
+    has_pa = lw.post_attn_norm is not None
+    has_pf = lw.post_ffw_norm is not None
+    logits, kc, vc = _run_step(
+        jnp.asarray(token, dtype=jnp.int32).reshape(1),
+        jnp.asarray(pos, dtype=jnp.int32).reshape(1),
+        base_idx, cos, sin,
+        lw.attn_norm.astype(f32), lw.ffn_norm.astype(f32),
+        lw.q_norm.astype(f32), lw.k_norm.astype(f32),
+        w.output_norm.astype(f32)[None, :],
+        lw.post_attn_norm.astype(f32) if has_pa else None,
+        lw.post_ffw_norm.astype(f32) if has_pf else None,
+        # scales as [L, 1, R] / [1, V] lane-major views: sub-128 minor
+        # dims can't be DMA-sliced on TPU, and the lane-major layout also
+        # multiplies outputs directly (free XLA reshapes of [L, R, 1])
+        lw.wqkv.q, lw.wqkv.scale.reshape(L, 1, -1),
+        lw.wo.q, lw.wo.scale.reshape(L, 1, -1),
+        lw.w_gate_up.q, lw.w_gate_up.scale.reshape(L, 1, -1),
+        lw.w_down.q, lw.w_down.scale.reshape(L, 1, -1),
+        w.token_embd.q, w.token_embd.scale.reshape(1, -1),
+        # flat [L, S, Hkv*dk] view: no size-1 tiled-dim slices in-kernel
+        cache.k.reshape(L, cache.k.shape[1], -1),
+        cache.v.reshape(L, cache.v.shape[1], -1),
+        eps=hp.rms_eps, attn_scale=hp.f_attention_scale,
         softcap=hp.attn_soft_cap or 0.0,
-        H=hp.n_head, Hkv=hp.n_head_kv,
-        dk=k_cache.shape[2], dv=v_cache.shape[2],
-        has_post_attn=pa is not None,
-        has_post_ffw=pf is not None,
-        interpret=interpret,
+        H=hp.n_head, Hkv=hp.n_head_kv, dk=dk, dv=dv,
+        has_pa=has_pa, has_pf=has_pf, interpret=interpret,
     )
-
-
-def fused_head(x: Array, norm: Array, wn: QuantTensor, *, eps: float,
-               interpret: bool = False) -> Array:
-    """norm + matmul prologue: [1, D] -> [1, Rn]."""
-    return _run_head(
-        x, norm.astype(jnp.float32)[None, :], wn.q, wn.scale,
-        eps=eps, interpret=interpret,
-    )
+    return logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape)

@@ -61,6 +61,93 @@ def parse_reference_dump(text: str) -> list[DumpRecord]:
     return records
 
 
+def corner_sample(arr: np.ndarray) -> np.ndarray:
+    """Sample an array exactly like the reference's tensor printer
+    (print_tensor_generic, reference tensor.h:48-70): per axis, the first
+    3 and last 3 indices when the axis exceeds 6 — in print order, so the
+    flat result aligns positionally with the corner values parsed from a
+    reference dump."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 0:
+        return a.reshape(1)
+
+    def sel(n: int) -> np.ndarray:
+        if n > 6:
+            return np.array([0, 1, 2, n - 3, n - 2, n - 1])
+        return np.arange(n)
+
+    return a[np.ix_(*(sel(n) for n in a.shape))].reshape(-1)
+
+
+@dataclasses.dataclass
+class TensorComparison:
+    name: str
+    index: int  # position in forward-pass order
+    sum_diff: float
+    value_mse: float  # per-element MSE over the printer's corner samples
+    n_values: int
+
+
+def compare_values(
+    ref_records: list[DumpRecord],
+    our_records: list[tuple[str, np.ndarray]],
+) -> list[TensorComparison]:
+    """Per-tensor |Δsum| and corner-value MSE, aligned by (name,
+    occurrence) — the reference's own cross-engine metric
+    (compare_tensors.py:67-202). The reference prints corners with 4
+    decimals, so MSE carries a ~2e-9 quantization floor."""
+    ref_map: dict[str, list[DumpRecord]] = {}
+    for rec in ref_records:
+        ref_map.setdefault(rec.name, []).append(rec)
+    ref_idx: dict[str, int] = {name: 0 for name in ref_map}
+
+    out: list[TensorComparison] = []
+    for name, value in our_records:
+        if name not in ref_map or ref_idx[name] >= len(ref_map[name]):
+            continue
+        rec = ref_map[name][ref_idx[name]]
+        ref_idx[name] += 1
+        ours_sum = float(np.asarray(value, dtype=np.float64).sum())
+        ours_vals = corner_sample(value)
+        n = min(len(rec.corners), len(ours_vals))
+        mse = 0.0
+        if n:
+            d = np.asarray(rec.corners[:n]) - ours_vals[:n]
+            mse = float(np.mean(d * d))
+        out.append(TensorComparison(
+            name=name, index=len(out),
+            sum_diff=abs(ours_sum - rec.total) if rec.total == rec.total else float("nan"),
+            value_mse=mse, n_values=n,
+        ))
+    return out
+
+
+def format_comparison_report(
+    comparisons: list[TensorComparison], *, first: int = 40, top: int = 5
+) -> str:
+    """The reference comparer's report: first-N table, top-N offenders by
+    |Δsum| and by value-MSE, overall average MSE
+    (compare_tensors.py:147-202, matplotlib plot replaced by text)."""
+    if not comparisons:
+        return "No matching tensors found to compare."
+    lines = [f"{'Index':<6} {'Tensor Name':<40} {'Sum Diff':<15} {'Value MSE':<15}",
+             "-" * 80]
+    for c in comparisons[:first]:
+        lines.append(f"{c.index:<6} {c.name:<40} {c.sum_diff:<15.6e} {c.value_mse:<15.6e}")
+    lines.append("")
+    lines.append(f"Top {top} Sum Deviations:")
+    for c in sorted(comparisons, key=lambda c: c.sum_diff, reverse=True)[:top]:
+        lines.append(f"  {c.name} (idx {c.index}): {c.sum_diff:.6e}")
+    lines.append("")
+    lines.append(f"Top {top} Value MSEs:")
+    for c in sorted(comparisons, key=lambda c: c.value_mse, reverse=True)[:top]:
+        lines.append(f"  {c.name} (idx {c.index}): {c.value_mse:.6e}")
+    avg = sum(c.value_mse for c in comparisons) / len(comparisons)
+    lines.append("")
+    lines.append(f"OVERALL AVG MSE: {avg:.6e}")
+    return "\n".join(lines)
+
+
 @dataclasses.dataclass
 class Divergence:
     name: str

@@ -36,7 +36,7 @@ import numpy as np
 from .engine import prefill_bucket
 from .gguf.reader import GGUFFile
 from .models.gemma import forward, forward_batched_decode, init_cache
-from .models.weights import fuse_projections, layers_stackable, load_weights, stack_layers
+from .models.weights import fuse_projections, load_weights
 from .tokenizer import Tokenizer
 
 
@@ -92,15 +92,9 @@ class BatchedServer:
         self.hparams, self.weights = load_weights(gguf, mode=load_mode)
         if mode != "parity":
             self.weights = fuse_projections(self.weights)
-        self._stacked = (
-            os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
-            and mode != "parity"
-            and layers_stackable(self.hparams, self.weights.layers)
-        )
-        if self._stacked:
-            self.weights = dataclasses.replace(
-                self.weights, layers=stack_layers(self.weights.layers)
-            )
+        # the batched decode step iterates per-layer weights; the scan
+        # stacking is a single-stream engine concern
+        self._stacked = False
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq
         self.max_batch = max_batch

@@ -7,6 +7,7 @@ import os
 import sys
 import tempfile
 
+import numpy as np
 import pytest
 
 import jax.numpy as jnp
@@ -75,6 +76,48 @@ def test_activation_checksums_match_reference():
     assert divergences == [], "\n".join(
         f"{d.name}: ref={d.ref_sum} ours={d.our_sum} rel={d.rel_diff:.2e}" for d in divergences
     )
+
+
+def test_corner_sample_matches_printer_pattern():
+    """corner_sample must reproduce the reference printer's first-3/last-3
+    per-axis sampling in print order (tensor.h:48-70)."""
+    a = np.arange(8 * 10, dtype=np.float64).reshape(8, 10)
+    got = parity.corner_sample(a)
+    rows = [0, 1, 2, 5, 6, 7]
+    cols = [0, 1, 2, 7, 8, 9]
+    want = np.array([a[r, c] for r in rows for c in cols])
+    np.testing.assert_array_equal(got, want)
+    # small axes emit everything
+    np.testing.assert_array_equal(parity.corner_sample(np.arange(5.0)), np.arange(5.0))
+
+
+@pytest.mark.skipif(not oracle_available(), reason="reference oracle unavailable")
+def test_value_mse_vs_reference():
+    """The compare_tensors.py-grade metric: per-tensor corner-value MSE
+    against the reference dump must sit at the printer's 4-decimal
+    quantization floor for the exact path."""
+    buf = build_gemma3_gguf(n_layers=2, weight_fmt=GGMLType.Q4_0)
+    tokens = [2, 7, 8]
+    dump = _capture_reference_dump(buf, tokens)
+    ref_records = parity.parse_reference_dump(dump)
+
+    g = GGUFFile(buf)
+    hp, w = load_weights(g)
+    session = trace.enable_trace("/tmp/llmi_trace_mse.npz")
+    try:
+        cache = init_cache(hp, 32)
+        forward(hp, w, cache, jnp.asarray(tokens, dtype=jnp.int32), 0)
+    finally:
+        trace.disable_trace()
+
+    comps = parity.compare_values(ref_records, session.records)
+    assert len(comps) > 20
+    assert all(c.n_values > 0 for c in comps)
+    # %.4f print quantization floor is ~8.3e-10 mean-square; give 100x slack
+    worst = max(c.value_mse for c in comps)
+    assert worst < 1e-7, parity.format_comparison_report(comps)
+    report = parity.format_comparison_report(comps)
+    assert "OVERALL AVG MSE" in report and "Top 5 Value MSEs" in report
 
 
 @pytest.mark.skipif(not oracle_available(), reason="reference oracle unavailable")

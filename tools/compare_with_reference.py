@@ -76,12 +76,17 @@ def main() -> int:
     trace.disable_trace()
     print(f"tpu engine: {len(session.records)} named tensors", file=sys.stderr)
 
+    # the reference comparer's own report: per-tensor |dsum| + corner-value
+    # MSE with name/sequence alignment, top offenders, overall average
+    comps = parity.compare_values(ref_records, session.records)
+    print(parity.format_comparison_report(comps, top=args.top))
+
     div = parity.compare_sums(ref_records, session.records, rel_tol=args.rel_tol)
     if not div:
-        print(f"PARITY OK: no per-tensor divergence above rel_tol={args.rel_tol}")
+        print(f"\nPARITY OK: no per-tensor divergence above rel_tol={args.rel_tol}")
         return 0
     div.sort(key=lambda d: -d.rel_diff)
-    print(f"{len(div)} tensors above rel_tol={args.rel_tol}; top offenders:")
+    print(f"\n{len(div)} tensors above rel_tol={args.rel_tol}; top offenders:")
     for d in div[: args.top]:
         print(f"  {d.name:36s} ref={d.ref_sum:14.6f} ours={d.our_sum:14.6f} rel={d.rel_diff:.3e}")
     return 1
