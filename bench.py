@@ -31,9 +31,12 @@ VOCAB_SIZE = 262144
 CACHE = Path(os.environ.get("LLMI_BENCH_GGUF", "/tmp/llmi_bench_gemma3_1b_q4_0.gguf"))
 
 PREFILL_LEN = 32
-DECODE_STEPS = 128
+DECODE_STEPS = 256
 WARMUP_STEPS = 8
 MAX_SEQ = 1024
+# one on-device scan per dispatch; big chunks amortize the host round-trip
+# (through the axon tunnel a dispatch costs ~35 ms)
+DECODE_CHUNK = 256
 
 
 def build_checkpoint() -> None:
@@ -76,7 +79,7 @@ def main() -> None:
     batch = int(os.environ.get("LLMI_BENCH_BATCH", "0"))
     if batch:
         return bench_batched(mode, batch)
-    engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode=mode, decode_chunk=64)
+    engine = Engine(str(CACHE), max_seq=MAX_SEQ, mode=mode, decode_chunk=DECODE_CHUNK)
     print(f"devices: {jax.devices()}", file=sys.stderr)
     # random weights can argmax onto <eos>; never stop early in the benchmark
     engine.tokenizer.eos_id = -1
