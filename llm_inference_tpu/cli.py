@@ -40,9 +40,28 @@ def main(argv: list[str] | None = None) -> int:
 
     gguf = GGUFFile(args.model)
     if args.verbose:
+        # container dump for interface parity with the reference's -v
+        # (reference main.cpp:73-84, gguf.cpp:306-327)
         h = gguf.header
-        print(f"GGUF version {h.version}: {h.tensor_count} tensors, "
-              f"{h.metadata_kv_count} metadata keys", file=sys.stderr)
+        print("GGUF File Information:", file=sys.stderr)
+        print(f"Version: {h.version}", file=sys.stderr)
+        print(f"Tensor count: {h.tensor_count}", file=sys.stderr)
+        print(f"Metadata KV count: {h.metadata_kv_count}", file=sys.stderr)
+        print("\nTensors:\n", file=sys.stderr)
+        for info in gguf.tensor_infos:
+            shape = ", ".join(str(d) for d in info.shape)
+            n = 1
+            for d in info.shape:
+                n *= d
+            print(f"{info.name}: shape = [{shape}], elements = {n}, "
+                  f"type = {info.tensor_type.name}, offset = {info.offset}",
+                  file=sys.stderr)
+        print("\nMetadata:\n", file=sys.stderr)
+        for key, value in gguf.metadata.items():
+            sv = str(value)
+            if len(sv) > 200:  # token lists etc.
+                sv = sv[:200] + f"... ({len(value) if hasattr(value, '__len__') else ''} items)"
+            print(f"{key} = {sv}", file=sys.stderr)
 
     if args.trace:
         from .trace import enable_trace

@@ -123,6 +123,7 @@ class Engine:
         want_scan = os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
         want_mega = (
             mode == "serve-q8"
+            and sharding_fn is None  # megakernel is single-chip; TP uses GSPMD
             and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
             and (jax.default_backend() == "tpu" or os.environ.get("LLMI_FUSED_INTERPRET"))
         )

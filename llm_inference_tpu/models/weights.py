@@ -138,7 +138,8 @@ def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed
         from ..quant.device import requantize_rowwise
 
         return requantize_rowwise(
-            info.tensor_type, gguf.tensor_bytes(info), info.n_rows, info.n_cols
+            info.tensor_type, gguf.tensor_bytes(info), info.n_rows, info.n_cols,
+            sharding=sharding,
         )
     if mode == "bf16":
         # serve mode: dequantize once on the host, ship bf16 to HBM —
@@ -157,7 +158,7 @@ def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed
             arr = jnp.asarray(w, dtype=jnp.bfloat16)
         if sharding is not None:
             arr = jax.device_put(
-                arr, sharding.for_rank(arr.ndim) if hasattr(sharding, "for_rank") else sharding
+                arr, sharding.for_array(arr) if hasattr(sharding, "for_array") else sharding
             )
         return DenseTensor(w=arr, fmt=GGMLType.BF16, rows=info.n_rows, cols=info.n_cols)
     w = from_gguf_bytes(

@@ -14,6 +14,11 @@ the same program across hosts over DCN.
 """
 
 from .mesh import make_mesh
-from .sharding import gemma_sharding_fn, kv_cache_sharding
+from .sharding import batched_kv_cache_sharding, gemma_sharding_fn, kv_cache_sharding
 
-__all__ = ["make_mesh", "gemma_sharding_fn", "kv_cache_sharding"]
+__all__ = [
+    "make_mesh",
+    "gemma_sharding_fn",
+    "kv_cache_sharding",
+    "batched_kv_cache_sharding",
+]

@@ -91,6 +91,15 @@ class _LeafSharding:
             spec[self.dim] = self.axis
         return NamedSharding(self.mesh, P(*spec))
 
+    def for_array(self, x) -> NamedSharding:
+        """Like for_rank but replicates leaves whose target dim doesn't
+        divide the mesh axis (e.g. rowq8 [R, 1] scales under a
+        col-parallel policy — per-row scales commute with the psum)."""
+        rank = len(x.shape)
+        if self.dim < rank and x.shape[self.dim] % self.mesh.shape[self.axis] == 0:
+            return self.for_rank(rank)
+        return NamedSharding(self.mesh, P())
+
 
 def kv_cache_sharding(mesh: Mesh, n_head_kv: int, axis: str = "model"):
     """Sharding for [max_seq, n_head_kv, head_dim] caches: shard KV heads
@@ -98,3 +107,14 @@ def kv_cache_sharding(mesh: Mesh, n_head_kv: int, axis: str = "model"):
     if n_head_kv % mesh.shape[axis] == 0:
         return NamedSharding(mesh, P(None, axis, None))
     return NamedSharding(mesh, P())
+
+
+def batched_kv_cache_sharding(
+    mesh: Mesh, n_head_kv: int, axis: str = "model", data_axis: str | None = "data"
+):
+    """Sharding for the server's [max_batch, max_seq, n_head_kv, head_dim]
+    cache lanes: batch over the 'data' axis (if present/divisible, chosen
+    by the caller), KV heads over the model axis."""
+    d = data_axis if data_axis in mesh.axis_names and mesh.shape.get(data_axis, 1) > 1 else None
+    m = axis if n_head_kv % mesh.shape[axis] == 0 else None
+    return NamedSharding(mesh, P(d, None, m, None))

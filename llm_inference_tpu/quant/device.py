@@ -219,8 +219,8 @@ def from_gguf_bytes(
         target = sharding if sharding is not None else device
         if target is None:
             return jax.device_put(x)
-        if hasattr(target, "for_rank"):  # parallel.sharding._LeafSharding factory
-            return jax.device_put(x, target.for_rank(np.ndim(x)))
+        if hasattr(target, "for_array"):  # parallel.sharding._LeafSharding factory
+            return jax.device_put(x, target.for_array(x))
         return jax.device_put(x, target)
     if fmt in _DENSE_DTYPE:
         w = layouts.dequantize(raw, fmt, rows, cols)
@@ -250,7 +250,9 @@ def from_gguf_bytes(
     )
 
 
-def requantize_rowwise(fmt: GGMLType, raw: np.ndarray, rows: int, cols: int) -> QuantTensor:
+def requantize_rowwise(
+    fmt: GGMLType, raw: np.ndarray, rows: int, cols: int, *, sharding=None
+) -> QuantTensor:
     """Requantize any GGUF weight to per-ROW int8 (W8 per-channel, the
     standard weight-only int8 scheme): W[r, c] ~= row_scale[r] * q8[r, c].
 
@@ -273,9 +275,17 @@ def requantize_rowwise(fmt: GGMLType, raw: np.ndarray, rows: int, cols: int) -> 
     amax = np.abs(w).max(axis=1)
     scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
     q8 = np.clip(np.rint(w / scale[:, None]), -127, 127).astype(np.int8)
+
+    def put(x):
+        if sharding is None:
+            return jax.device_put(x)
+        if hasattr(sharding, "for_array"):  # parallel.sharding._LeafSharding
+            return jax.device_put(x, sharding.for_array(x))
+        return jax.device_put(x, sharding)
+
     return QuantTensor(
-        q=jax.device_put(jnp.asarray(q8)),
-        scale=jax.device_put(jnp.asarray(scale[:, None])),
+        q=put(jnp.asarray(q8)),
+        scale=put(jnp.asarray(scale[:, None])),
         offset=None,
         fmt=GGMLType(fmt),
         rows=rows,

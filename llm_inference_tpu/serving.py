@@ -72,6 +72,8 @@ class BatchedServer:
         mode: str = "serve",
         decode_chunk: int = 8,
         max_admit_per_step: int = 2,
+        sharding_fn=None,
+        cache_sharding=None,
     ):
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
@@ -89,7 +91,9 @@ class BatchedServer:
                 f"unknown server mode {mode!r}; supported: {sorted(load_modes)}"
             )
         load_mode = load_modes[mode]
-        self.hparams, self.weights = load_weights(gguf, mode=load_mode)
+        self.hparams, self.weights = load_weights(
+            gguf, mode=load_mode, sharding_fn=sharding_fn
+        )
         if mode != "parity":
             self.weights = fuse_projections(self.weights)
         # the batched decode step iterates per-layer weights; the scan
@@ -151,6 +155,10 @@ class BatchedServer:
         self._caches = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (max_batch,) + a.shape).copy(), one
         )
+        if cache_sharding is not None:  # [B, S, Hkv, dk] lanes: shard KV heads
+            self._caches = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, cache_sharding), self._caches
+            )
         self._free: list[int] = list(range(max_batch))
         self._active: dict[int, Request] = {}
         self._queue: list[Request] = []

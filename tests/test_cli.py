@@ -37,6 +37,12 @@ def test_cli_verbose_top10(model_path, capsys):
     err = capsys.readouterr().err
     assert "Top 10 most likely tokens:" in err
     assert "arch=gemma3" in err
+    # container dump parity with the reference -v (main.cpp:73-84,
+    # gguf.cpp:306-327): header, tensor directory, metadata
+    assert "GGUF File Information:" in err
+    assert "Tensor count:" in err
+    assert "token_embd.weight: shape = [" in err
+    assert "general.architecture = gemma3" in err
 
 
 def test_cli_trace(model_path, capsys, tmp_path):

@@ -68,3 +68,46 @@ def test_dp_replicated_batch_decode(tp_setup):
                            mode="parity", decode_chunk=2)
     outs = server.run([([2, 7], 3), ([2, 8], 3)])
     assert len(outs) == 2
+
+
+@pytest.mark.parametrize("mode", ["serve", "serve-q8"])
+def test_tp_serve_engine_matches_single_device(tp_setup, mode):
+    """Serve modes under TP (round-1 gap: TP was exact-path only): the
+    sharded engine must emit the same greedy tokens as single-device."""
+    from llm_inference_tpu.engine import Engine
+
+    buf, mesh = tp_setup
+    single = Engine(GGUFFile(buf), max_seq=64, mode=mode, decode_chunk=4)
+    want = single.generate_from_ids([2, 7, 8], n_predict=6)
+
+    tp = Engine(
+        GGUFFile(buf), max_seq=64, mode=mode, decode_chunk=4,
+        sharding_fn=gemma_sharding_fn(mesh),
+        cache_sharding=kv_cache_sharding(mesh, single.hparams.n_head_kv),
+    )
+    got = tp.generate_from_ids([2, 7, 8], n_predict=6)
+    assert got == want
+    # weights really distributed (bf16 DenseTensor .w or rowq8 QuantTensor .q)
+    wd = tp.weights.layers[0].w_down
+    leaf = wd.w if hasattr(wd, "w") else wd.q
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_tp_batched_server(tp_setup):
+    """BatchedServer with TP-sharded weights + cache lanes on the mesh."""
+    from llm_inference_tpu.parallel import batched_kv_cache_sharding
+    from llm_inference_tpu.serving import BatchedServer
+
+    buf, mesh = tp_setup
+    ref = BatchedServer(GGUFFile(buf), max_seq=64, max_batch=2,
+                        mode="serve-q8", decode_chunk=4)
+    want = ref.run([([2, 7, 8], 5), ([2, 12], 5)])
+
+    g = GGUFFile(buf)
+    srv = BatchedServer(
+        g, max_seq=64, max_batch=2, mode="serve-q8", decode_chunk=4,
+        sharding_fn=gemma_sharding_fn(mesh),
+        cache_sharding=batched_kv_cache_sharding(mesh, ref.hparams.n_head_kv),
+    )
+    got = srv.run([([2, 7, 8], 5), ([2, 12], 5)])
+    assert got == want
