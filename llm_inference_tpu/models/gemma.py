@@ -126,10 +126,14 @@ def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams, exact: 
     S, Hkv, _ = k_cache.shape
     group = H // Hkv
 
-    # Parity: Q rounds through f16 before the QK dot (model.cpp:504-509).
+    # Parity: Q rounds through f16 before the QK dot (model.cpp:504-509);
+    # HIGHEST keeps the dot true-f32 on the MXU (TPU defaults to bf16).
     qg = (f16_round(q) if exact else q.astype(jnp.float32)).reshape(T, Hkv, group, Dk)
     k = k_cache.astype(jnp.float32)
-    scores = jnp.einsum("tkgd,skd->tkgs", qg, k, preferred_element_type=jnp.float32)
+    scores = jnp.einsum(
+        "tkgd,skd->tkgs", qg, k, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if exact else None,
+    )
 
     scores = softcap(scores, hp.attn_soft_cap)
 

@@ -73,7 +73,10 @@ def matmul(
     if exact:
         xr = contract_activations(x, w.act_quant)
         wd = w.dequant(jnp.float32)
-        return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32)
+        # HIGHEST: true-f32 MXU passes. The TPU default silently computes
+        # f32 matmuls at bf16 precision, which breaks the exact contract.
+        return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     if isinstance(w, (QuantTensor, Q4Tensor)):
         from .pallas import q4_matmul, quant_matmul, supports_pallas
 

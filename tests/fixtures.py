@@ -32,6 +32,7 @@ def build_gemma3_gguf(
     rope_freq_base: float = 10000.0,
     with_post_norms: bool = False,
     head_dim: int | None = None,
+    weight_std: float = 0.1,
 ) -> bytes:
     """Build a complete little gemma3 GGUF buffer with seeded random weights.
 
@@ -43,8 +44,10 @@ def build_gemma3_gguf(
     rng = np.random.default_rng(seed)
 
     def rand(*shape):
-        # small weights keep activations tame through quantization
-        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+        # small weights keep activations tame through quantization;
+        # weight_std ~2e-2 makes deep stacks contractive (trained-model-
+        # like error propagation) — see tools/greedy_parity.py
+        return (rng.standard_normal(shape) * weight_std).astype(np.float32)
 
     w = GGUFWriter()
     w.add_metadata("general.architecture", "gemma3")

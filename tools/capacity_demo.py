@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Capacity demo: big-model geometries on one chip / the virtual mesh.
+
+BASELINE.md's north star is Gemma-3-27B-class serving. This builds
+synthetic checkpoints with the real 12B / 27B geometries and demonstrates:
+
+  - 12B: loads in serve-q4 (lossless 0.5 B/weight packing) on ONE 16 GB
+    chip, with an HBM memory report and a short greedy generation.
+  - 27B: loads TP-sharded across the 8-device virtual mesh (CPU backend)
+    with a per-device memory report and one forward step — the sharding
+    program that a v5e-16 slice would run.
+
+    python tools/capacity_demo.py 12b [--generate N]
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+        python tools/capacity_demo.py 27b
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+# real Gemma-3 geometries (model card / GGUF metadata)
+GEOMS = {
+    "12b": dict(n_layers=48, n_embd=3840, n_ff=15360, n_head=16, n_head_kv=8,
+                head_dim=256),
+    "27b": dict(n_layers=62, n_embd=5376, n_ff=21504, n_head=32, n_head_kv=16,
+                head_dim=128),
+}
+VOCAB_SIZE = 262144
+
+
+def checkpoint_path(name: str) -> Path:
+    return Path(f"/tmp/llmi_capacity_{name}_q4_0.gguf")
+
+
+def build(name: str) -> Path:
+    from fixtures import build_gemma3_gguf
+
+    path = checkpoint_path(name)
+    if path.exists():
+        return path
+    vocab = [f"t{i}" for i in range(VOCAB_SIZE)]
+    vocab[1] = "<eos>"
+    vocab[2] = "<bos>"
+    vocab[3] = "<unk>"
+    t0 = time.time()
+    buf = build_gemma3_gguf(vocab=vocab, seed=12, **GEOMS[name])
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(buf)
+    tmp.rename(path)
+    print(f"built {name} checkpoint ({len(buf)/1e9:.1f} GB) in "
+          f"{time.time()-t0:.0f}s -> {path}", file=sys.stderr)
+    return path
+
+
+def hbm_report(label: str) -> None:
+    import jax
+
+    for d in jax.devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            used = stats.get("bytes_in_use", 0) / 1e9
+            limit = stats.get("bytes_limit", 0) / 1e9
+            print(f"{label}: {d} {used:.2f} GB in use / {limit:.2f} GB", flush=True)
+
+
+def run_12b(generate: int) -> None:
+    import jax
+    import numpy as np
+
+    from llm_inference_tpu.engine import Engine, GenerationStats
+
+    path = build("12b")
+    t0 = time.time()
+    eng = Engine(str(path), max_seq=1024, mode="serve-q4", decode_chunk=16)
+    print(f"12B serve-q4 load: {time.time()-t0:.0f}s", flush=True)
+    hbm_report("after load")
+    nparams = sum(
+        x.size for x in jax.tree_util.tree_leaves(eng.weights)
+        if hasattr(x, "size")
+    )
+    print(f"device leaves hold {nparams/1e9:.2f} B elements", flush=True)
+    if generate:
+        eng.tokenizer.eos_id = -1
+        eng.tokenizer.end_of_turn_id = -1
+        rng = np.random.default_rng(0)
+        ids = [2] + rng.integers(10, 10000, size=15).tolist()
+        st = GenerationStats()
+        out = eng.generate_from_ids(ids, n_predict=generate, stats=st)
+        print(f"12B generated {len(out)} tokens, decode "
+              f"{st.decode_tok_per_s:.1f} tok/s "
+              f"(prefill {st.prefill_seconds:.1f}s incl. compile)", flush=True)
+        hbm_report("after generate")
+
+
+def run_27b() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from llm_inference_tpu.gguf import GGUFFile
+    from llm_inference_tpu.models import forward, init_cache, load_weights
+    from llm_inference_tpu.parallel import gemma_sharding_fn, kv_cache_sharding, make_mesh
+
+    path = build("27b")
+    n = len(jax.devices())
+    mesh = make_mesh(model=n, data=1)
+    t0 = time.time()
+    hp, w = load_weights(GGUFFile(str(path)), sharding_fn=gemma_sharding_fn(mesh),
+                         mode="packed-q4")
+    print(f"27B packed-q4 TP load over {n} devices: {time.time()-t0:.0f}s", flush=True)
+    per_dev = {}
+    for leaf in jax.tree_util.tree_leaves(w):
+        if hasattr(leaf, "addressable_shards"):
+            for s in leaf.addressable_shards:
+                per_dev[s.device] = per_dev.get(s.device, 0) + s.data.nbytes
+    for d, b in sorted(per_dev.items(), key=lambda kv: str(kv[0])):
+        print(f"  {d}: {b/1e9:.2f} GB of weights", flush=True)
+    cache = init_cache(hp, 128, sharding=kv_cache_sharding(mesh, hp.n_head_kv),
+                       dtype=jnp.bfloat16)
+    from functools import partial
+
+    fwd = jax.jit(partial(forward, hp, exact=False, mm_impl="xla"))
+    t0 = time.time()
+    logits, cache = fwd(w, cache, jnp.asarray([2, 7, 8, 9], dtype=jnp.int32), 0)
+    s = float(jnp.sum(logits))
+    print(f"27B sharded forward step: {time.time()-t0:.0f}s "
+          f"(logits checksum {s:.3f})", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["12b", "27b"])
+    ap.add_argument("--generate", type=int, default=8)
+    args = ap.parse_args()
+    if args.which == "12b":
+        run_12b(args.generate)
+    else:
+        run_27b()
+
+
+if __name__ == "__main__":
+    main()

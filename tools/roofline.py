@@ -62,6 +62,8 @@ def canon(name: str) -> str:
 def bucket(name: str) -> str:
     """Map an XLA/Mosaic kernel name to a human op class."""
     n = name.lower()
+    if n.startswith("_run_step"):
+        return "decode megakernel (whole step)"
     if n.startswith("_run"):
         return "pallas fused dequant-matmul"
     if n.startswith("custom-call") or "mosaic" in n:
