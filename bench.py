@@ -127,8 +127,11 @@ def bench_batched(mode: str, batch: int) -> None:
 
     from llm_inference_tpu.serving import BatchedServer
 
+    # peak-aggregate measurement: admit the whole batch upfront (the
+    # default bounded admission trades aggregate for TTFT fairness)
     server = BatchedServer(str(CACHE), max_seq=MAX_SEQ, max_batch=batch,
-                           mode=mode, decode_chunk=32)
+                           mode=mode, decode_chunk=32,
+                           max_admit_per_step=batch)
     server.tokenizer.eos_id = -1
     server.tokenizer.end_of_turn_id = -1
     rng = np.random.default_rng(0)

@@ -116,6 +116,25 @@ class BatchedServer:
             caches = jax.tree_util.tree_map(lambda c, s: c.at[slot].set(s), caches, one)
             return jnp.argmax(logits).astype(jnp.int32), caches
 
+        def _prefill_group(w, caches, slots, tokens, n_valids):
+            # serve modes: admit a whole group in ONE dispatch — a vmapped
+            # bucket prefill turns G serialized prefills into batched GEMMs
+            # (G x bucket rows per weight stream). Padded group members use
+            # n_valid = 0: their cache writes drop and outputs are ignored.
+            lanes = jax.tree_util.tree_map(lambda c: c[slots], caches)
+
+            def one(lane, toks, nv):
+                logits, lane = forward(hp, w, lane, toks, 0, nv,
+                                       exact=exact, mm_impl="xla")
+                return jnp.argmax(logits).astype(jnp.int32), lane
+
+            toks_out, lanes = jax.vmap(one)(lanes, tokens, n_valids)
+            # mode="drop": padded group members carry slot == max_batch
+            # (out of bounds) so their stale lanes never scatter back
+            caches = jax.tree_util.tree_map(
+                lambda c, l: c.at[slots].set(l, mode="drop"), caches, lanes)
+            return toks_out, caches
+
         def _chunk_one(w, cache, token, pos):
             def body(carry, _):
                 c, tok, p = carry
@@ -148,7 +167,9 @@ class BatchedServer:
             return jnp.moveaxis(toks, 0, 1), c  # [B, chunk]
 
         self._prefill = jax.jit(_prefill_slot, donate_argnums=(1,))
+        self._prefill_group = jax.jit(_prefill_group, donate_argnums=(1,))
         self._chunk = jax.jit(_chunk_batched, donate_argnums=(1,))
+        self._exact = exact
 
         kv_dtype = jnp.float16 if mode == "parity" else jnp.bfloat16
         one = init_cache(hp, max_seq, stacked=self._stacked, dtype=kv_dtype)
@@ -192,24 +213,60 @@ class BatchedServer:
         At most ``max_admit_per_step`` prefills run per scheduler
         iteration once requests are already decoding, bounding the
         head-of-line blocking a burst of long prompts adds to in-flight
-        decodes; an idle engine admits as many as fit."""
+        decodes; an idle engine admits as many as fit. Serve modes admit
+        same-bucket groups in ONE vmapped dispatch (padded to power-of-two
+        group sizes so group shapes compile once)."""
         budget = len(self._free) if not self._active else self.max_admit_per_step
         while self._queue and self._free and budget > 0:
-            budget -= 1
-            req = self._queue.pop(0)
-            slot = self._free.pop(0)
-            bucket = prefill_bucket(len(req.prompt_ids))
-            padded = np.zeros(bucket, dtype=np.int32)
-            padded[: len(req.prompt_ids)] = req.prompt_ids
-            tok, self._caches = self._prefill(
-                self.weights, self._caches, jnp.int32(slot), jnp.asarray(padded),
-                jnp.int32(0), jnp.int32(len(req.prompt_ids)),
+            bucket = prefill_bucket(len(self._queue[0].prompt_ids))
+            group: list[Request] = []
+            while (
+                self._queue and self._free and budget > 0
+                and prefill_bucket(len(self._queue[0].prompt_ids)) == bucket
+                and (self._exact is False or not group)
+            ):
+                group.append(self._queue.pop(0))
+                budget -= 1
+            if self._exact or len(group) == 1:
+                for req in group:
+                    slot = self._free.pop(0)
+                    padded = np.zeros(bucket, dtype=np.int32)
+                    padded[: len(req.prompt_ids)] = req.prompt_ids
+                    tok, self._caches = self._prefill(
+                        self.weights, self._caches, jnp.int32(slot),
+                        jnp.asarray(padded), jnp.int32(0),
+                        jnp.int32(len(req.prompt_ids)),
+                    )
+                    self._activate(req, slot, int(tok))
+                continue
+            g = 1
+            while g < len(group):
+                g *= 2
+            # padding entries: slot out of bounds -> their write-back drops
+            slots = np.full(g, self.max_batch, dtype=np.int32)
+            tokens = np.zeros((g, bucket), dtype=np.int32)
+            n_valids = np.zeros(g, dtype=np.int32)  # padding: 0 valid tokens
+            taken = []
+            for i, req in enumerate(group):
+                slot = self._free.pop(0)
+                taken.append(slot)
+                slots[i] = slot
+                tokens[i, : len(req.prompt_ids)] = req.prompt_ids
+                n_valids[i] = len(req.prompt_ids)
+            toks, self._caches = self._prefill_group(
+                self.weights, self._caches, jnp.asarray(slots),
+                jnp.asarray(tokens), jnp.asarray(n_valids),
             )
-            req.slot = slot
-            req.pos = len(req.prompt_ids)
-            req.pending = int(tok)
-            req.t_first = time.perf_counter()
-            self._active[slot] = req
+            toks = np.asarray(toks)
+            for i, req in enumerate(group):
+                self._activate(req, taken[i], int(toks[i]))
+
+    def _activate(self, req: Request, slot: int, first_tok: int) -> None:
+        req.slot = slot
+        req.pos = len(req.prompt_ids)
+        req.pending = first_tok
+        req.t_first = time.perf_counter()
+        self._active[slot] = req
 
     def _emit(self, req: Request, tid: int) -> bool:
         """Record one token; True when the request just finished."""

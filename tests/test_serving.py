@@ -78,3 +78,16 @@ def test_slot_reuse_is_clean(model_buf):
     first = server.run([([2, 7, 8], 5)])[0]
     second = server.run([([2, 7, 8], 5)])[0]
     assert first == second
+
+
+def test_grouped_admission_matches_serial(model_buf):
+    """Same-bucket requests admitted in one vmapped prefill dispatch must
+    behave exactly like serial admission (padded lanes must not clobber)."""
+    serial = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=4,
+                           mode="serve", decode_chunk=4, max_admit_per_step=1)
+    want = serial.run([([2, 7, 8], 5), ([2, 10, 11], 5), ([2, 12], 5)])
+
+    grouped = BatchedServer(GGUFFile(model_buf), max_seq=64, max_batch=4,
+                            mode="serve", decode_chunk=4, max_admit_per_step=4)
+    got = grouped.run([([2, 7, 8], 5), ([2, 10, 11], 5), ([2, 12], 5)])
+    assert got == want
