@@ -112,9 +112,11 @@ def run_27b() -> None:
     n = len(jax.devices())
     mesh = make_mesh(model=n, data=1)
     t0 = time.time()
+    # packed-serve: lossless planar int8 + exact group scales (pack_q4's
+    # nibble pass would round-trip every sharded tensor through the host)
     hp, w = load_weights(GGUFFile(str(path)), sharding_fn=gemma_sharding_fn(mesh),
-                         mode="packed-q4")
-    print(f"27B packed-q4 TP load over {n} devices: {time.time()-t0:.0f}s", flush=True)
+                         mode="packed-serve")
+    print(f"27B packed int8 TP load over {n} devices: {time.time()-t0:.0f}s", flush=True)
     per_dev = {}
     for leaf in jax.tree_util.tree_leaves(w):
         if hasattr(leaf, "addressable_shards"):
@@ -139,10 +141,16 @@ def main() -> None:
     ap.add_argument("which", choices=["12b", "27b"])
     ap.add_argument("--generate", type=int, default=8)
     args = ap.parse_args()
-    if args.which == "12b":
-        run_12b(args.generate)
-    else:
+    if args.which == "27b":
+        # force the CPU backend even where a TPU PJRT plugin is registered
+        # (the plugin overrides JAX_PLATFORMS) — the 27B demo is about the
+        # virtual-mesh sharding program, and 17 GB would OOM one chip
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         run_27b()
+    else:
+        run_12b(args.generate)
 
 
 if __name__ == "__main__":
