@@ -480,6 +480,7 @@ def forward_batched_decode(
         dk = hp.n_embd_head_k_swa if is_swa else hp.n_embd_head_k
         dv = hp.n_embd_head_v_swa if is_swa else hp.n_embd_head_v
 
+        has_kv = hp.layer_has_kv(i)  # shared-KV layers own no K/V weights
         h = _norm(x, layer.attn_norm, hp.rms_eps)  # [B, D]
         if layer.wqkv is not None:
             rq, rk = hp.n_head * dk, hp.n_head_kv * dk
@@ -489,8 +490,8 @@ def forward_batched_decode(
             )
         else:
             q_flat = mm(layer.wq, h)
-            k_flat = mm(layer.wk, h)
-            v_flat = mm(layer.wv, h)
+            k_flat = mm(layer.wk, h) if has_kv else None
+            v_flat = mm(layer.wv, h) if has_kv else None
 
         q = q_flat.reshape(B, hp.n_head, dk)
         if layer.q_norm is not None:
@@ -499,7 +500,7 @@ def forward_batched_decode(
         q = q * jnp.float32(hp.f_attention_scale)
 
         src = hp.kv_source_layer(i)
-        if hp.layer_has_kv(i):
+        if has_kv:
             k = k_flat.reshape(B, hp.n_head_kv, dk)
             if layer.k_norm is not None:
                 k = _norm(k, layer.k_norm, hp.rms_eps)

@@ -91,3 +91,20 @@ def test_grouped_admission_matches_serial(model_buf):
                             mode="serve", decode_chunk=4, max_admit_per_step=4)
     got = grouped.run([([2, 7, 8], 5), ([2, 10, 11], 5), ([2, 12], 5)])
     assert got == want
+
+
+def test_gemma4_batched_decode():
+    """The batched decode step must handle the gemma4 path (per-layer
+    inputs, shared KV, out_scale) identically to single-stream serve."""
+    from fixtures import build_gemma4_gguf
+    from llm_inference_tpu.engine import Engine
+
+    buf = build_gemma4_gguf(n_layers=4, shared_kv_layers=1, seed=5)
+    single = Engine(GGUFFile(buf), max_seq=64, mode="serve", decode_chunk=4)
+    want = [single.generate_from_ids([2, 7, 8], n_predict=5),
+            single.generate_from_ids([2, 9], n_predict=5)]
+
+    srv = BatchedServer(GGUFFile(buf), max_seq=64, max_batch=2,
+                        mode="serve", decode_chunk=4)
+    got = srv.run([([2, 7, 8], 5), ([2, 9], 5)])
+    assert got == want
