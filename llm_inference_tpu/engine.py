@@ -122,7 +122,7 @@ class Engine:
         # copy in HBM.
         want_scan = os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
         want_mega = (
-            mode == "serve-q8"
+            mode in ("serve-q8", "serve-q")
             and sharding_fn is None  # megakernel is single-chip; TP uses GSPMD
             and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
             and (jax.default_backend() == "tpu" or os.environ.get("LLMI_FUSED_INTERPRET"))
@@ -135,15 +135,38 @@ class Engine:
             stacked = dataclasses.replace(
                 self.weights, layers=stack_layers(self.weights.layers)
             )
-            if want_mega and not want_scan:
-                from .models.gemma import _megakernel_enabled
+            if want_mega and mode == "serve-q":
+                # lossless megakernel: repack the stacked projections into
+                # the masked-dot transposed layout (exact values; decode
+                # runs ops/pallas/fused_decode_q.py, prefill dequantizes
+                # into XLA GEMMs). Ineligible checkpoints keep the strided
+                # layout + per-matmul fused kernels.
+                from .models.gemma import _megakernel_q_enabled
+                from .models.weights import maskdot_layers
+                from .ops.pallas.fused_decode_q import megakernel_q_supported
 
-                if not _megakernel_enabled(self.hparams, stacked):
-                    stacked = None  # ineligible: keep the unrolled layout
-            if stacked is not None:
-                self.weights = stacked
+                if megakernel_q_supported(self.hparams, stacked):
+                    cand = maskdot_layers(stacked)
+                    if cand is not None and _megakernel_q_enabled(self.hparams, cand):
+                        self.weights = cand
+                    else:
+                        self._stacked = want_scan
+                        if want_scan:
+                            self.weights = stacked
+                else:
+                    self._stacked = want_scan
+                    if want_scan:
+                        self.weights = stacked
             else:
-                self._stacked = False
+                if want_mega and not want_scan:
+                    from .models.gemma import _megakernel_enabled
+
+                    if not _megakernel_enabled(self.hparams, stacked):
+                        stacked = None  # ineligible: keep the unrolled layout
+                if stacked is not None:
+                    self.weights = stacked
+                else:
+                    self._stacked = False
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq
         self.decode_chunk = decode_chunk

@@ -319,18 +319,27 @@ def forward(
             and mm_impl == "auto"
             and attention_impl == "fused"
             and T == 1
-            and _megakernel_enabled(hp, w)
         ):
-            # single-token serve decode: the ENTIRE step as one Pallas
-            # call with hand-rolled layer-granularity double buffering
-            # (ops/pallas/fused_decode.py).
-            from ..ops.pallas.fused_decode import decode_step_megakernel
-
             interpret = bool(os.environ.get("LLMI_FUSED_INTERPRET"))
-            logits, kc, vc = decode_step_megakernel(
-                hp, w, cache, tokens[0], pos, interpret=interpret
-            )
-            return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
+            if _megakernel_enabled(hp, w):
+                # single-token serve decode: the ENTIRE step as one Pallas
+                # call with hand-rolled layer-granularity double buffering
+                # (ops/pallas/fused_decode.py).
+                from ..ops.pallas.fused_decode import decode_step_megakernel
+
+                logits, kc, vc = decode_step_megakernel(
+                    hp, w, cache, tokens[0], pos, interpret=interpret
+                )
+                return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
+            if _megakernel_q_enabled(hp, w):
+                # lossless variant: group-scaled weights in the masked-dot
+                # transposed layout (ops/pallas/fused_decode_q.py).
+                from ..ops.pallas.fused_decode_q import decode_step_megakernel_q
+
+                logits, kc, vc = decode_step_megakernel_q(
+                    hp, w, cache, tokens[0], pos, interpret=interpret
+                )
+                return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
         return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact)
 
     # Embedding gather + sqrt(n_embd) scale (reference model.cpp:710-712).
@@ -436,6 +445,23 @@ def _megakernel_enabled(hp: HParams, w: ModelWeights) -> bool:
     from ..ops.pallas.fused_decode import megakernel_supported
 
     return megakernel_supported(hp, w)
+
+
+def _megakernel_q_enabled(hp: HParams, w: ModelWeights) -> bool:
+    """Lossless (masked-dot) whole-step megakernel gate: the layer
+    projections must already be in the transposed TQuantTensor layout
+    (models/weights.py maskdot_layers, applied at engine load)."""
+    if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
+        return False
+    if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
+        return False
+    from ..quant.device import TQuantTensor
+
+    if not isinstance(w.layers.wqkv, TQuantTensor):
+        return False
+    from ..ops.pallas.fused_decode_q import megakernel_q_supported
+
+    return megakernel_q_supported(hp, w)
 
 
 def forward_batched_decode(

@@ -277,6 +277,31 @@ def stack_layers(layers: tuple[LayerWeights, ...]) -> LayerWeights:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
+def maskdot_layers(model: ModelWeights) -> Optional[ModelWeights]:
+    """Repack a STACKED model's layer weights into the masked-dot
+    transposed layout (quant/device.py TQuantTensor) consumed by the
+    lossless whole-step decode megakernel (ops/pallas/fused_decode_q.py).
+    One-time device transposes; exact values. Returns None when any of the
+    four fused projections isn't a convertible QuantTensor."""
+    import dataclasses as _dc
+
+    from ..quant.device import QuantTensor, transpose_for_maskdot
+
+    lw = model.layers
+    if not isinstance(lw, LayerWeights):
+        return None
+    parts = {}
+    for f in ("wqkv", "wo", "w_gate_up", "w_down"):
+        qt = getattr(lw, f)
+        if not isinstance(qt, QuantTensor) or qt.groups <= 1:
+            return None
+        t = transpose_for_maskdot(qt)
+        if t is None:
+            return None
+        parts[f] = t
+    return _dc.replace(model, layers=_dc.replace(lw, **parts))
+
+
 def _concat_weights(parts: list) -> WeightTensor:
     """Concatenate row-parallel weights sharing cols/format into one tensor
     (exact: y rows are simply stacked, the contraction is unchanged)."""

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from ..quant.device import DenseTensor, Q4Tensor, QuantTensor, WeightTensor
+from ..quant.device import DenseTensor, Q4Tensor, QuantTensor, TQuantTensor, WeightTensor
 from .actquant import roundtrip_q8_0, roundtrip_q8_k
 from .numerics import f16_round
 
@@ -77,6 +77,13 @@ def matmul(
         # f32 matmuls at bf16 precision, which breaks the exact contract.
         return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
+    if isinstance(w, TQuantTensor):
+        # masked-dot megakernel layout (quant/device.py): T=1 decode runs
+        # the whole-step kernel before reaching here (models/gemma.py);
+        # this is the prefill/fallback path — dequantize into the GEMM
+        # operand (MXU-bound for prefill buckets, exact f32 scales).
+        wd = w.dequant(jnp.bfloat16)
+        return jnp.matmul(x.astype(wd.dtype), wd.T, preferred_element_type=jnp.float32)
     if isinstance(w, (QuantTensor, Q4Tensor)):
         from .pallas import q4_matmul, quant_matmul, supports_pallas
 

@@ -354,6 +354,126 @@ class Q4Tensor:
         return w.reshape(self.rows, self.cols).astype(dtype)
 
 
+def maskdot_block_geom(cols: int, group_size: int) -> Optional[tuple[int, int, int, int]]:
+    """Contraction-block geometry for the masked-dot lossless matmul
+    (ops/pallas/fused_decode_q.py): split the C columns into blocks of
+    BG groups (BG*group_size columns each) so the per-block group-partial
+    dot rides the MXU's A-operand sublane slot (M = BG <= 16).
+
+    Returns (BG, BC, n_blocks, Mp) — Mp is BG padded to the f32 sublane
+    tile (8) so block slices of the padded transposed scale stay aligned —
+    or None when no block size divides ``cols``.
+    """
+    for bg in (16, 12, 8, 4):
+        bc = bg * group_size
+        if cols % bc == 0:
+            mp = bg if bg % 8 == 0 else ((bg + 7) // 8) * 8
+            return bg, bc, cols // bc, mp
+    return None
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qT", "sT", "offT"],
+    meta_fields=["fmt", "rows", "cols", "group_size", "bg", "mp"],
+)
+@dataclasses.dataclass
+class TQuantTensor:
+    """Transposed planar quantized weight for the masked-dot megakernel.
+
+    Same exact values as :class:`QuantTensor`, stored contraction-major:
+
+      - ``qT``  int8 [..., cols, rows] — logical column order (NOT
+        group-strided): qT[..., c, r] is the integer quant of W[r, c].
+      - ``sT``  f32 [..., n_blocks*mp, rows] — per-group scales, transposed
+        and block-padded: rows [b*mp, b*mp+bg) hold the scales of groups
+        [b*bg, (b+1)*bg); padding rows are zero.
+      - ``offT`` same layout for Q4_K's min offsets, or None.
+
+    The leading ``...`` is the stacked [n_layers] axis (stack_layers).
+    Every minor dim is 128-tile-friendly, so the megakernel DMAs per-layer
+    slices directly; scales stay exact f32 end-to-end (better than the
+    per-matmul fused kernel's bf16-rounded scales).
+    """
+
+    qT: Array
+    sT: Array
+    offT: Optional[Array]
+    fmt: GGMLType
+    rows: int
+    cols: int
+    group_size: int
+    bg: int  # groups per contraction block
+    mp: int  # sublane-padded rows per block in sT/offT
+
+    @property
+    def act_quant(self) -> str:
+        return ACT_QUANT[self.fmt]
+
+    @property
+    def groups(self) -> int:
+        return self.cols // self.group_size
+
+    @property
+    def n_blocks(self) -> int:
+        return self.cols // (self.bg * self.group_size)
+
+    def _scale_rg(self, t: Array) -> Array:
+        """[..., n_blocks*mp, rows] padded-transposed -> [..., rows, groups]."""
+        lead = t.shape[:-2]
+        tb = t.reshape(lead + (self.n_blocks, self.mp, self.rows))
+        tb = tb[..., : self.bg, :]  # strip padding rows
+        s = tb.reshape(lead + (self.groups, self.rows))
+        return jnp.swapaxes(s, -1, -2)
+
+    def dequant(self, dtype=jnp.float32) -> Array:
+        """[..., rows, cols] logical dequantization (XLA prefill path)."""
+        q = jnp.swapaxes(self.qT, -1, -2).astype(jnp.float32)  # [..., R, C]
+        lead = q.shape[:-2]
+        qg = q.reshape(lead + (self.rows, self.groups, self.group_size))
+        w = qg * self._scale_rg(self.sT)[..., None]
+        if self.offT is not None:
+            w = w - self._scale_rg(self.offT)[..., None]
+        return w.reshape(lead + (self.rows, self.cols)).astype(dtype)
+
+
+def transpose_for_maskdot(qt: QuantTensor) -> Optional[TQuantTensor]:
+    """One-time repack of a (stacked or single) QuantTensor into the
+    masked-dot transposed layout. Returns None when no block geometry
+    divides the columns. Exact: only device transposes/zero-padding."""
+    geom = maskdot_block_geom(qt.cols, qt.group_size)
+    if geom is None:
+        return None
+    bg, bc, nblk, mp = geom
+    gs, G, R, C = qt.group_size, qt.groups, qt.rows, qt.cols
+    q = qt.q
+    lead = q.shape[:-2]
+    # group-strided storage -> logical column order -> transpose
+    ql = q.reshape(lead + (R, gs, G))
+    ql = jnp.swapaxes(ql, -1, -2).reshape(lead + (R, C))
+    qT = jnp.swapaxes(ql, -1, -2)  # [..., C, R]
+
+    def pad_t(s: Array) -> Array:
+        # [..., R, G] -> [..., nblk, mp, R] zero-padded -> [..., nblk*mp, R]
+        st = jnp.swapaxes(s, -1, -2)  # [..., G, R]
+        st = st.reshape(lead + (nblk, bg, R))
+        pad = [(0, 0)] * (st.ndim - 2) + [(0, mp - bg), (0, 0)]
+        st = jnp.pad(st, pad)
+        return st.reshape(lead + (nblk * mp, R))
+
+    return TQuantTensor(
+        qT=jax.device_put(qT),
+        sT=jax.device_put(pad_t(qt.scale)),
+        offT=None if qt.offset is None else jax.device_put(pad_t(qt.offset)),
+        fmt=qt.fmt,
+        rows=R,
+        cols=C,
+        group_size=gs,
+        bg=bg,
+        mp=mp,
+    )
+
+
 def pack_q4(qt: QuantTensor) -> Optional[Q4Tensor]:
     """Losslessly nibble-pack a 4-bit-quant QuantTensor (Q4_0/Q4_K); None
     when the format's quants don't fit 4 bits or dims don't halve cleanly."""
