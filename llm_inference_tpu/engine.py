@@ -122,7 +122,7 @@ class Engine:
         # copy in HBM.
         want_scan = os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
         want_mega = (
-            mode in ("serve-q8", "serve-q")
+            mode in ("serve-q8", "serve-q", "serve-q4")
             and sharding_fn is None  # megakernel is single-chip; TP uses GSPMD
             and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
             and (jax.default_backend() == "tpu" or os.environ.get("LLMI_FUSED_INTERPRET"))
@@ -135,18 +135,20 @@ class Engine:
             stacked = dataclasses.replace(
                 self.weights, layers=stack_layers(self.weights.layers)
             )
-            if want_mega and mode == "serve-q":
+            if want_mega and mode in ("serve-q", "serve-q4"):
                 # lossless megakernel: repack the stacked projections into
                 # the masked-dot transposed layout (exact values; decode
                 # runs ops/pallas/fused_decode_q.py, prefill dequantizes
-                # into XLA GEMMs). Ineligible checkpoints keep the strided
-                # layout + per-matmul fused kernels.
+                # into XLA GEMMs). serve-q4 nibble-packs 4-bit parts
+                # (TQ4Tensor, 0.5 B/weight, unpacked in-kernel).
+                # Ineligible checkpoints keep the strided layout +
+                # per-matmul fused kernels.
                 from .models.gemma import _megakernel_q_enabled
                 from .models.weights import maskdot_layers
                 from .ops.pallas.fused_decode_q import megakernel_q_supported
 
                 if megakernel_q_supported(self.hparams, stacked):
-                    cand = maskdot_layers(stacked)
+                    cand = maskdot_layers(stacked, q4=(mode == "serve-q4"))
                     if cand is not None and _megakernel_q_enabled(self.hparams, cand):
                         self.weights = cand
                     else:

@@ -455,9 +455,9 @@ def _megakernel_q_enabled(hp: HParams, w: ModelWeights) -> bool:
         return False
     if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
-    from ..quant.device import TQuantTensor
+    from ..quant.device import TQ4Tensor, TQuantTensor
 
-    if not isinstance(w.layers.wqkv, TQuantTensor):
+    if not isinstance(w.layers.wqkv, (TQuantTensor, TQ4Tensor)):
         return False
     from ..ops.pallas.fused_decode_q import megakernel_q_supported
 

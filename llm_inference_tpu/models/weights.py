@@ -115,17 +115,22 @@ _LAYER_PARAMS = {
 def _load_w(gguf: GGUFFile, info: TensorInfo, sharding=None, mode: str = "packed") -> WeightTensor:
     if mode == "packed-q4" and info.name.startswith("blk."):
         # serve-q4: lossless nibble-packing of 4-bit encodings (0.5 B/weight);
-        # non-4-bit formats stay int8 planar, embeddings go bf16.
-        from ..quant.device import pack_q4
+        # non-4-bit formats stay int8 planar, embeddings go bf16. Packing
+        # happens on the host so only packed bytes cross to HBM.
+        from ..quant.device import pack_q4_host
 
+        if info.tensor_type in (GGMLType.Q4_0, GGMLType.Q4_K):
+            q4 = pack_q4_host(
+                gguf.tensor_bytes(info), info.tensor_type, info.n_rows,
+                info.n_cols, sharding=sharding,
+            )
+            if q4 is not None:
+                return q4
         w = from_gguf_bytes(
             gguf.tensor_bytes(info), info.tensor_type, info.n_rows, info.n_cols,
             sharding=sharding,
         )
         if not isinstance(w, DenseTensor):
-            q4 = pack_q4(w)
-            if q4 is not None:
-                return q4
             return w
         mode = "bf16"
     elif mode == "packed-q4":
@@ -277,15 +282,25 @@ def stack_layers(layers: tuple[LayerWeights, ...]) -> LayerWeights:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def maskdot_layers(model: ModelWeights) -> Optional[ModelWeights]:
+def maskdot_layers(model: ModelWeights, *, q4: bool = False) -> Optional[ModelWeights]:
     """Repack a STACKED model's layer weights into the masked-dot
     transposed layout (quant/device.py TQuantTensor) consumed by the
     lossless whole-step decode megakernel (ops/pallas/fused_decode_q.py).
     One-time device transposes; exact values. Returns None when any of the
-    four fused projections isn't a convertible QuantTensor."""
+    four fused projections isn't convertible.
+
+    ``q4=True`` (the serve-q4 capacity mode) additionally nibble-packs
+    4-bit encodings to TQ4Tensor (0.5 B/weight, block-paired layout);
+    non-4-bit parts (e.g. a Q6_K down-projection) stay TQuantTensor."""
     import dataclasses as _dc
 
-    from ..quant.device import QuantTensor, transpose_for_maskdot
+    from ..quant.device import (
+        Q4Tensor,
+        QuantTensor,
+        pack_maskdot_q4,
+        transpose_for_maskdot,
+        unpack_q4_to_quant,
+    )
 
     lw = model.layers
     if not isinstance(lw, LayerWeights):
@@ -293,11 +308,17 @@ def maskdot_layers(model: ModelWeights) -> Optional[ModelWeights]:
     parts = {}
     for f in ("wqkv", "wo", "w_gate_up", "w_down"):
         qt = getattr(lw, f)
+        if isinstance(qt, Q4Tensor):  # serve-q4 load: unpack, re-pack paired
+            qt = unpack_q4_to_quant(qt)
         if not isinstance(qt, QuantTensor) or qt.groups <= 1:
             return None
         t = transpose_for_maskdot(qt)
         if t is None:
             return None
+        if q4:
+            t4 = pack_maskdot_q4(t)
+            if t4 is not None:
+                t = t4
         parts[f] = t
     return _dc.replace(model, layers=_dc.replace(lw, **parts))
 

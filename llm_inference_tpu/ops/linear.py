@@ -26,7 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from ..quant.device import DenseTensor, Q4Tensor, QuantTensor, TQuantTensor, WeightTensor
+from ..quant.device import (
+    DenseTensor,
+    Q4Tensor,
+    QuantTensor,
+    TQ4Tensor,
+    TQuantTensor,
+    WeightTensor,
+)
 from .actquant import roundtrip_q8_0, roundtrip_q8_k
 from .numerics import f16_round
 
@@ -77,7 +84,7 @@ def matmul(
         # f32 matmuls at bf16 precision, which breaks the exact contract.
         return jnp.matmul(xr, wd.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
-    if isinstance(w, TQuantTensor):
+    if isinstance(w, (TQuantTensor, TQ4Tensor)):
         # masked-dot megakernel layout (quant/device.py): T=1 decode runs
         # the whole-step kernel before reaching here (models/gemma.py);
         # this is the prefill/fallback path — dequantize into the GEMM

@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...quant.device import (
     DenseTensor,
+    Q4Tensor,
     QuantTensor,
+    TQ4Tensor,
     TQuantTensor,
     maskdot_block_geom,
 )
@@ -54,23 +56,30 @@ _BUFFER_BUDGET = 110 * 1024 * 1024
 
 
 def _convertible(p) -> bool:
-    """A layer projection the masked-dot kernel can consume — already a
-    TQuantTensor, or a group-scaled QuantTensor a load-time repack
-    (models/weights.py maskdot_layers) can transpose."""
-    if isinstance(p, TQuantTensor):
+    """A layer projection the masked-dot kernel can consume — already in
+    the transposed layout, or a group-scaled planar tensor a load-time
+    repack (models/weights.py maskdot_layers) can transpose."""
+    if isinstance(p, (TQuantTensor, TQ4Tensor)):
         return True
-    return isinstance(p, QuantTensor) and p.groups > 1
+    return isinstance(p, (QuantTensor, Q4Tensor)) and p.groups > 1
 
 
 def _scale_rows(p) -> int:
-    if isinstance(p, TQuantTensor):
+    if isinstance(p, (TQuantTensor, TQ4Tensor)):
         return p.sT.shape[-2]
     bg, bc, nblk, mp = maskdot_block_geom(p.cols, p.group_size)
     return nblk * mp
 
 
+def _weight_bytes(p) -> int:
+    half = isinstance(p, (TQ4Tensor, Q4Tensor))
+    return p.cols * p.rows // (2 if half else 1)
+
+
 def _has_off(p) -> bool:
-    return (p.offT if isinstance(p, TQuantTensor) else p.offset) is not None
+    if isinstance(p, (TQuantTensor, TQ4Tensor)):
+        return p.offT is not None
+    return p.offset is not None
 
 
 def megakernel_q_supported(hp, w) -> bool:
@@ -121,16 +130,20 @@ def megakernel_q_supported(hp, w) -> bool:
     TN = V if V <= _LOGITS_TILE else _LOGITS_TILE
     layer_bytes = 0
     for p in parts:
-        layer_bytes += p.cols * p.rows  # int8
+        layer_bytes += _weight_bytes(p)  # int8 / packed nibbles
         nsc = 2 if _has_off(p) else 1
         layer_bytes += nsc * _scale_rows(p) * p.rows * 4
     need = 2 * layer_bytes + 2 * TN * D * 2 + 16 * D * 2
     return need <= _BUFFER_BUDGET
 
 
-def _qdot(qref, sref, offref, bsel, x_bf, *, gs, geom):
+def _qdot(qref, sref, offref, bsel, x_bf, *, gs, geom, packed=False,
+          centered=False):
     """[1, C] bf16 x transposed quant block buffers -> [1, R] f32 with
-    exact f32 group scales (see module docstring)."""
+    exact f32 group scales (see module docstring). ``packed``: qref holds
+    block-paired nibbles (TQ4Tensor) unpacked here on the VPU — ~20%
+    extra compute for half the HBM/VMEM bytes (tools/probe_q4 measured
+    39 vs 32 us on the gate_up geometry)."""
     BG, BC, nblk, Mp = geom
     C = x_bf.shape[1]
     # The group-local mask pattern is periodic in BC, so ONE offset-0
@@ -145,8 +158,19 @@ def _qdot(qref, sref, offref, bsel, x_bf, *, gs, geom):
     acc = None
     for b in range(nblk):
         xm = xm_full[:, b * BC : (b + 1) * BC]
+        if packed:
+            h = BC // 2
+            p32 = qref[bsel, b * h : (b + 1) * h, :].astype(jnp.int32) & 0xFF
+            lo = (p32 & 0xF).astype(jnp.bfloat16)
+            hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
+            if centered:
+                lo = lo - 8.0
+                hi = hi - 8.0
+            wb = jnp.concatenate([lo, hi], axis=0)  # [BC, R] bf16
+        else:
+            wb = qref[bsel, b * BC : (b + 1) * BC, :]
         pb = jax.lax.dot_general(
-            xm, qref[bsel, b * BC : (b + 1) * BC, :],
+            xm, wb,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Mp, R]
@@ -164,7 +188,7 @@ def _qdot(qref, sref, offref, bsel, x_bf, *, gs, geom):
 
 def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                  eps, attn_scale, softcap, has_pa, has_pf,
-                 geoms, gss, has_off):
+                 geoms, gss, has_off, packed, centered):
     group = H // Hkv
     nt = V // TN
     n_w = 8 + sum(has_off)  # weight+scale(+offset) copies per layer
@@ -250,7 +274,8 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             x = x_s[:]
             h = (_rms(x, eps) * an_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
             qkv = _qdot(wbufs[0][0], wbufs[0][1], wbufs[0][2], b, h,
-                        gs=gss[0], geom=geoms[0])  # [1, Rq]
+                        gs=gss[0], geom=geoms[0], packed=packed[0],
+                        centered=centered[0])  # [1, Rq]
 
             q = qkv[:, : H * dk].reshape(H, dk)
             k = qkv[:, H * dk : H * dk + Hkv * dk].reshape(Hkv, dk)
@@ -314,19 +339,22 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             attn_flat = attn.reshape(1, H * dv).astype(jnp.bfloat16)
 
             y = _qdot(wbufs[1][0], wbufs[1][1], wbufs[1][2], b, attn_flat,
-                      gs=gss[1], geom=geoms[1])
+                      gs=gss[1], geom=geoms[1], packed=packed[1],
+                      centered=centered[1])
             if has_pa:
                 y = _rms(y, eps) * pan_r[pl.ds(l, 1), :]
             x2 = x + y
             h2 = (_rms(x2, eps) * fn_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
             gu = _qdot(wbufs[2][0], wbufs[2][1], wbufs[2][2], b, h2,
-                       gs=gss[2], geom=geoms[2])  # [1, 2F]
+                       gs=gss[2], geom=geoms[2], packed=packed[2],
+                       centered=centered[2])  # [1, 2F]
             g = gu[:, :F]
             u = gu[:, F:]
             c = jnp.float32(0.7978845608028654)
             a = 0.5 * g * (1.0 + jnp.tanh(c * (g + 0.044715 * g * g * g))) * u
             y3 = _qdot(wbufs[3][0], wbufs[3][1], wbufs[3][2], b,
-                       a.astype(jnp.bfloat16), gs=gss[3], geom=geoms[3])
+                       a.astype(jnp.bfloat16), gs=gss[3], geom=geoms[3],
+                       packed=packed[3], centered=centered[3])
             if has_pf:
                 y3 = _rms(y3, eps) * pfn_r[pl.ds(l, 1), :]
             x_s[:] = x2 + y3
@@ -385,20 +413,21 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
-                     "has_pa", "has_pf", "geoms", "gss", "has_off",
-                     "interpret"),
+                     "has_pa", "has_pf", "geoms", "gss", "has_off", "packed",
+                     "centered", "interpret"),
 )
 def _run_step(
     token, pos, base_idx, cos, sin, an, fn_, qn, kn, on, pan, pfn,
     wparts, emb, kc, vc,
     *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
-    geoms, gss, has_off, interpret=False,
+    geoms, gss, has_off, packed, centered, interpret=False,
 ):
     L = wparts[0][0].shape[0]
-    D = wparts[0][0].shape[1]
+    # packed parts store cols//2 nibble rows
+    D = wparts[0][0].shape[1] * (2 if packed[0] else 1)
     Rq = wparts[0][0].shape[2]
-    Adim = wparts[1][0].shape[1]
-    F = wparts[3][0].shape[1]
+    Adim = wparts[1][0].shape[1] * (2 if packed[1] else 1)
+    F = wparts[3][0].shape[1] * (2 if packed[3] else 1)
     V = emb.shape[0]
     S = kc.shape[1]  # [L, S, Hkv*dk]
     TN = V if V <= _LOGITS_TILE else _LOGITS_TILE
@@ -438,6 +467,7 @@ def _run_step(
         L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim, V=V,
         S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
         has_pa=has_pa, has_pf=has_pf, geoms=geoms, gss=gss, has_off=has_off,
+        packed=packed, centered=centered,
     )
     scratch += [
         pltpu.VMEM((2, S, Hkv * dk), kc.dtype),
@@ -482,7 +512,7 @@ def decode_step_megakernel_q(hp, w, cache, token, pos, *, interpret=False):
     transposed group-scaled weights (TQuantTensor). Returns (logits
     [vocab] f32 — softcap applied by the caller, new cache arrays)."""
     lw = w.layers
-    L = lw.wqkv.qT.shape[0]
+    L = lw.wqkv.sT.shape[0]
     dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
     half = dk // 2
 
@@ -504,13 +534,16 @@ def decode_step_megakernel_q(hp, w, cache, token, pos, *, interpret=False):
     has_pa = lw.post_attn_norm is not None
     has_pf = lw.post_ffw_norm is not None
     weights = [lw.wqkv, lw.wo, lw.w_gate_up, lw.w_down]
+    packed = tuple(isinstance(wt, TQ4Tensor) for wt in weights)
     wparts = tuple(
-        (wt.qT, wt.sT) + ((wt.offT,) if wt.offT is not None else ())
-        for wt in weights
+        ((wt.packedT if pk else wt.qT), wt.sT)
+        + ((wt.offT,) if wt.offT is not None else ())
+        for wt, pk in zip(weights, packed)
     )
     geoms = tuple(maskdot_block_geom(wt.cols, wt.group_size) for wt in weights)
     gss = tuple(wt.group_size for wt in weights)
     has_off = tuple(wt.offT is not None for wt in weights)
+    centered = tuple(getattr(wt, "centered", False) for wt in weights)
 
     logits, kc, vc = _run_step(
         jnp.asarray(token, dtype=jnp.int32).reshape(1),
@@ -529,6 +562,7 @@ def decode_step_megakernel_q(hp, w, cache, token, pos, *, interpret=False):
         softcap=hp.attn_soft_cap or 0.0,
         H=hp.n_head, Hkv=hp.n_head_kv, dk=dk, dv=dv,
         has_pa=has_pa, has_pf=has_pf,
-        geoms=geoms, gss=gss, has_off=has_off, interpret=interpret,
+        geoms=geoms, gss=gss, has_off=has_off, packed=packed,
+        centered=centered, interpret=interpret,
     )
     return logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape)

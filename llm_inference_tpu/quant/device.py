@@ -474,6 +474,178 @@ def transpose_for_maskdot(qt: QuantTensor) -> Optional[TQuantTensor]:
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["packedT", "sT", "offT"],
+    meta_fields=["fmt", "rows", "cols", "group_size", "bg", "mp", "centered"],
+)
+@dataclasses.dataclass
+class TQ4Tensor:
+    """Nibble-packed variant of :class:`TQuantTensor`: 0.5 B/weight in HBM
+    for 4-bit encodings, unpacked inside the masked-dot megakernel.
+
+    Packing is BLOCK-PAIRED so each contraction block unpacks from a
+    contiguous slice: within block b (rows [b*BC, (b+1)*BC) of the
+    transposed [cols, rows] layout, BC = bg*group_size), row j < BC/2
+    holds the LOW nibble and row j + BC/2 the HIGH nibble of
+    ``packedT[b*BC/2 + j]``. ``centered``: quants stored as q+8 with
+    value (q-8)*scale (Q4_0); else q*scale - offset (Q4_K)."""
+
+    packedT: Array  # int8 [..., cols//2, rows]
+    sT: Array  # f32 [..., n_blocks*mp, rows] (TQuantTensor layout)
+    offT: Optional[Array]
+    fmt: GGMLType
+    rows: int
+    cols: int
+    group_size: int
+    bg: int
+    mp: int
+    centered: bool
+
+    @property
+    def act_quant(self) -> str:
+        return ACT_QUANT[self.fmt]
+
+    @property
+    def groups(self) -> int:
+        return self.cols // self.group_size
+
+    @property
+    def n_blocks(self) -> int:
+        return self.cols // (self.bg * self.group_size)
+
+    def _unpacked_qT(self) -> Array:
+        """[..., cols, rows] int32 logical transposed quants."""
+        lead = self.packedT.shape[:-2]
+        bc = self.bg * self.group_size
+        h = bc // 2
+        p = self.packedT.reshape(lead + (self.n_blocks, h, self.rows))
+        p32 = p.astype(jnp.int32) & 0xFF
+        lo = p32 & 0xF
+        hi = (p32 >> 4) & 0xF
+        q = jnp.concatenate([lo, hi], axis=-2)  # [..., nblk, bc, rows]
+        if self.centered:
+            q = q - 8
+        return q.reshape(lead + (self.cols, self.rows))
+
+    def _scale_rg(self, t: Array) -> Array:
+        lead = t.shape[:-2]
+        tb = t.reshape(lead + (self.n_blocks, self.mp, self.rows))
+        tb = tb[..., : self.bg, :]
+        s = tb.reshape(lead + (self.groups, self.rows))
+        return jnp.swapaxes(s, -1, -2)
+
+    def dequant(self, dtype=jnp.float32) -> Array:
+        q = jnp.swapaxes(self._unpacked_qT(), -1, -2).astype(jnp.float32)
+        lead = q.shape[:-2]
+        qg = q.reshape(lead + (self.rows, self.groups, self.group_size))
+        w = qg * self._scale_rg(self.sT)[..., None]
+        if self.offT is not None:
+            w = w - self._scale_rg(self.offT)[..., None]
+        return w.reshape(lead + (self.rows, self.cols)).astype(dtype)
+
+
+def pack_maskdot_q4(t: TQuantTensor) -> Optional[TQ4Tensor]:
+    """Block-paired nibble packing of a 4-bit TQuantTensor (lossless).
+    None when the format's quants don't span 4 bits or BC is odd."""
+    if t.fmt not in (GGMLType.Q4_0, GGMLType.Q4_K):
+        return None
+    bc = t.bg * t.group_size
+    if bc % 2:
+        return None
+    centered = t.fmt == GGMLType.Q4_0
+    lead = t.qT.shape[:-2]
+    q = t.qT.astype(jnp.int32)
+    if centered:
+        q = q + 8  # [-8, 7] -> [0, 15]
+    qb = q.reshape(lead + (t.n_blocks, bc, t.rows))
+    h = bc // 2
+    lo = qb[..., :h, :]
+    hi = qb[..., h:, :]
+    p = lo | (hi << 4)
+    p8 = ((p + 128) % 256 - 128).astype(jnp.int8)
+    return TQ4Tensor(
+        packedT=jax.device_put(p8.reshape(lead + (t.cols // 2, t.rows))),
+        sT=t.sT,
+        offT=t.offT,
+        fmt=t.fmt,
+        rows=t.rows,
+        cols=t.cols,
+        group_size=t.group_size,
+        bg=t.bg,
+        mp=t.mp,
+        centered=centered,
+    )
+
+
+def unpack_q4_to_quant(q4: Q4Tensor) -> QuantTensor:
+    """Device unpack of a nibble-packed Q4Tensor back to planar int8
+    (exact; the strided column order is preserved)."""
+    p32 = q4.packed.astype(jnp.int32) & 0xFF
+    lo = p32 & 0xF
+    hi = (p32 >> 4) & 0xF
+    q = jnp.concatenate([lo, hi], axis=-1)  # device-strided column order
+    if q4.centered:
+        q = q - 8
+    return QuantTensor(
+        q=q.astype(jnp.int8),
+        scale=q4.scale,
+        offset=q4.offset,
+        fmt=q4.fmt,
+        rows=q4.rows,
+        cols=q4.cols,
+        group_size=q4.group_size,
+    )
+
+
+def pack_q4_host(
+    raw: np.ndarray, fmt: GGMLType, rows: int, cols: int, *, sharding=None
+) -> Optional[Q4Tensor]:
+    """Build a nibble-packed Q4Tensor straight from raw GGUF block bytes,
+    packing on the HOST — only the 0.5 B/weight packed array (plus scales)
+    ever crosses to the device. ``pack_q4`` by contrast round-trips the
+    full int8 planar tensor through device memory (12 GB each way for a
+    12B checkpoint over a tunnel-attached chip)."""
+    fmt = GGMLType(fmt)
+    if fmt not in (GGMLType.Q4_0, GGMLType.Q4_K):
+        return None
+    plan = _PLANAR[fmt]
+    gs = 32
+    native_out = _native_repack(raw, int(fmt), rows, cols, gs)
+    if native_out is not None:
+        q, scale, offset = native_out
+    else:
+        q, scale, offset, gs = plan(raw, rows, cols)
+    groups = cols // gs
+    if cols % 2 or (gs // 2) * groups != cols // 2:
+        return None
+    # group-strided column order (QuantTensor contract), then nibble-pack
+    q = np.asarray(q).reshape(rows, groups, gs).transpose(0, 2, 1).reshape(rows, cols)
+    centered = fmt == GGMLType.Q4_0
+    u = (q + 8 if centered else q).astype(np.uint8)
+    half = cols // 2
+    packed = (u[:, :half] | (u[:, half:] << 4)).astype(np.uint8).view(np.int8)
+
+    def put(x):
+        x = jnp.asarray(x)
+        if sharding is None:
+            return jax.device_put(x)
+        if hasattr(sharding, "for_array"):
+            return jax.device_put(x, sharding.for_array(x))
+        return jax.device_put(x, sharding)
+
+    return Q4Tensor(
+        packed=put(packed),
+        scale=put(np.asarray(scale, dtype=np.float32)),
+        offset=None if offset is None else put(np.asarray(offset, dtype=np.float32)),
+        fmt=fmt,
+        rows=rows,
+        cols=cols,
+        group_size=gs,
+        centered=centered,
+    )
+
+
 def pack_q4(qt: QuantTensor) -> Optional[Q4Tensor]:
     """Losslessly nibble-pack a 4-bit-quant QuantTensor (Q4_0/Q4_K); None
     when the format's quants don't fit 4 bits or dims don't halve cleanly."""

@@ -105,6 +105,77 @@ def test_megakernel_q_matches_xla_serve(fused_env, weight_fmt):
     np.testing.assert_allclose(k_fus[:, :pos], k_ref[:, :pos], atol=4e-2)
 
 
+@pytest.mark.parametrize("weight_fmt", [GGMLType.Q4_0, GGMLType.Q4_K])
+def test_megakernel_q4_packed_matches_xla_serve(fused_env, weight_fmt):
+    """The nibble-packed (TQ4Tensor) megakernel variant: block-paired
+    packing + in-kernel unpack must be value-identical to the int8 path."""
+    from llm_inference_tpu.quant.device import TQ4Tensor
+
+    hp, w = _model(weight_fmt=weight_fmt)
+    stacked = dataclasses.replace(w, layers=stack_layers(w.layers))
+    wq = maskdot_layers(stacked, q4=True)
+    assert wq is not None
+    assert isinstance(wq.layers.wqkv, TQ4Tensor)
+    assert wq.layers.wqkv.centered == (weight_fmt == GGMLType.Q4_0)
+    assert megakernel_q_supported(hp, wq)
+    assert _megakernel_q_enabled(hp, wq)
+
+    # packing is lossless: dequant identical to the int8 transposed form
+    wq8 = maskdot_layers(stacked)
+    np.testing.assert_array_equal(
+        np.asarray(wq.layers.w_down.dequant(jnp.float32)),
+        np.asarray(wq8.layers.w_down.dequant(jnp.float32)),
+    )
+
+    cache_ref = init_cache(hp, 64, dtype=jnp.bfloat16)
+    cache_fus = init_cache(hp, 64, stacked=True, dtype=jnp.bfloat16)
+    fwd_ref = jax.jit(partial(forward, hp, exact=False, mm_impl="xla"))
+    fwd_fus = jax.jit(partial(forward, hp, exact=False, mm_impl="auto"))
+
+    toks = jnp.asarray([2, 7, 8], dtype=jnp.int32)
+    _, cache_ref = fwd_ref(w, cache_ref, toks, 0)
+    _, cache_fus = fwd_fus(wq, cache_fus, toks, 0)
+
+    pos = 3
+    for step in range(2):
+        tok = jnp.asarray([9 + step], dtype=jnp.int32)
+        d_ref, cache_ref = fwd_ref(w, cache_ref, tok, pos)
+        d_fus, cache_fus = fwd_fus(wq, cache_fus, tok, pos)
+        pos += 1
+        d_ref, d_fus = np.asarray(d_ref), np.asarray(d_fus)
+        scale = max(1.0, np.abs(d_ref).max())
+        np.testing.assert_allclose(d_fus, d_ref, atol=1.5e-2 * scale,
+                                   err_msg=f"step {step}")
+        assert d_ref.argmax() == d_fus.argmax()
+
+
+def test_maskdot_layers_from_q4tensor():
+    """serve-q4 loads Q4Tensor leaves; maskdot_layers must unpack and
+    re-pack them losslessly."""
+    hp, w0 = _model(n_layers=2)
+    # reload in packed-q4 mode to get Q4Tensor layer weights
+    vocab = [f"t{i}" for i in range(256)]
+    vocab[1] = "<eos>"
+    vocab[2] = "<bos>"
+    vocab[3] = "<unk>"
+    buf = build_gemma3_gguf(
+        n_layers=2, n_embd=256, n_ff=512, n_head=4, n_head_kv=2,
+        head_dim=128, vocab=vocab, with_post_norms=True,
+    )
+    hp4, w4 = load_weights(GGUFFile(buf), mode="packed-q4")
+    w4 = fuse_projections(w4)
+    from llm_inference_tpu.quant.device import Q4Tensor
+
+    assert isinstance(w4.layers[0].wqkv, Q4Tensor)
+    stacked = dataclasses.replace(w4, layers=stack_layers(w4.layers))
+    wq = maskdot_layers(stacked, q4=True)
+    assert wq is not None
+    got = np.asarray(wq.layers.wqkv.dequant(jnp.float32))
+    for l, lw in enumerate(w0.layers):
+        want = np.asarray(lw.wqkv.dequant(jnp.float32))
+        np.testing.assert_array_equal(got[l], want, err_msg=f"layer {l}")
+
+
 def test_megakernel_q_prefill_scan_path(fused_env):
     """Stacked TQuantTensor weights must also drive the scan-over-layers
     prefill (linear.py dequant branch): T>1 forward works and matches the

@@ -92,11 +92,16 @@ def run_12b(generate: int) -> None:
         eng.tokenizer.end_of_turn_id = -1
         rng = np.random.default_rng(0)
         ids = [2] + rng.integers(10, 10000, size=15).tolist()
+        warm = GenerationStats()
+        eng.generate_from_ids(ids, n_predict=min(generate, 2 * eng.decode_chunk),
+                              stats=warm)
+        print(f"12B warmup: prefill {warm.prefill_seconds:.1f}s, decode "
+              f"{warm.decode_seconds:.1f}s (both incl. compile)", flush=True)
         st = GenerationStats()
         out = eng.generate_from_ids(ids, n_predict=generate, stats=st)
         print(f"12B generated {len(out)} tokens, decode "
               f"{st.decode_tok_per_s:.1f} tok/s "
-              f"(prefill {st.prefill_seconds:.1f}s incl. compile)", flush=True)
+              f"(prefill {st.prefill_seconds*1e3:.0f} ms)", flush=True)
         hbm_report("after generate")
 
 
