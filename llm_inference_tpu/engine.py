@@ -131,6 +131,22 @@ class Engine:
             (want_scan or want_mega) and mode != "parity"
             and layers_stackable(self.hparams, self.weights.layers)
         )
+        if self._stacked and want_mega and not want_scan:
+            # megakernel eligibility is checked on a FIRST-LAYER probe
+            # BEFORE stack_layers: stacking is a full second weight copy
+            # in HBM, and paying it just to discover a 12B-class layer
+            # set can't fit VMEM OOMs the chip.
+            probe = dataclasses.replace(
+                self.weights, layers=self.weights.layers[0]
+            )
+            if mode in ("serve-q", "serve-q4"):
+                from .ops.pallas.fused_decode_q import megakernel_q_supported
+
+                self._stacked = megakernel_q_supported(self.hparams, probe)
+            else:
+                from .models.gemma import _megakernel_enabled
+
+                self._stacked = _megakernel_enabled(self.hparams, probe)
         if self._stacked:
             stacked = dataclasses.replace(
                 self.weights, layers=stack_layers(self.weights.layers)
@@ -147,14 +163,13 @@ class Engine:
                 from .models.weights import maskdot_layers
                 from .ops.pallas.fused_decode_q import megakernel_q_supported
 
+                cand = None
                 if megakernel_q_supported(self.hparams, stacked):
+                    # the transform itself is a full transient weight copy;
+                    # never attempt it on an ineligible (e.g. 12B) layer set
                     cand = maskdot_layers(stacked, q4=(mode == "serve-q4"))
-                    if cand is not None and _megakernel_q_enabled(self.hparams, cand):
-                        self.weights = cand
-                    else:
-                        self._stacked = want_scan
-                        if want_scan:
-                            self.weights = stacked
+                if cand is not None and _megakernel_q_enabled(self.hparams, cand):
+                    self.weights = cand
                 else:
                     self._stacked = want_scan
                     if want_scan:

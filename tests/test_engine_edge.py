@@ -64,3 +64,32 @@ def test_stop_token_respected_mid_chunk():
     clipped = engine.generate_from_ids([2, 7], n_predict=10)
     assert len(clipped) < len(all_out)
     assert engine.tokenizer.eos_id not in clipped
+
+
+@pytest.mark.parametrize("mode,leaf", [("serve-q", "TQuantTensor"),
+                                       ("serve-q4", "TQ4Tensor")])
+def test_engine_megakernel_q_mode_activation(monkeypatch, mode, leaf):
+    """Engine(mode=serve-q/serve-q4) on an eligible checkpoint repacks the
+    stacked projections into the masked-dot layout and generates through
+    the whole-step kernel (interpret mode on CPU), matching mode=serve."""
+    import llm_inference_tpu.quant.device as qd
+
+    monkeypatch.setenv("LLMI_FUSED_INTERPRET", "1")
+    vocab = [f"t{i}" for i in range(256)]
+    vocab[1] = "<eos>"
+    vocab[2] = "<bos>"
+    vocab[3] = "<unk>"
+    buf = build_gemma3_gguf(
+        n_layers=2, n_embd=256, n_ff=512, n_head=4, n_head_kv=2,
+        head_dim=128, vocab=vocab, seed=31,
+    )
+    eng = Engine(GGUFFile(buf), max_seq=64, mode=mode, decode_chunk=4)
+    assert isinstance(eng.weights.layers.wqkv, getattr(qd, leaf))
+    eng.tokenizer.eos_id = -1
+    eng.tokenizer.end_of_turn_id = -1
+    out = eng.generate_from_ids([2, 7, 8], n_predict=6)
+
+    ref = Engine(GGUFFile(buf), max_seq=64, mode="serve", decode_chunk=4)
+    ref.tokenizer.eos_id = -1
+    ref.tokenizer.end_of_turn_id = -1
+    assert out == ref.generate_from_ids([2, 7, 8], n_predict=6)
