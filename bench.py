@@ -128,10 +128,14 @@ def bench_batched(mode: str, batch: int) -> None:
     from llm_inference_tpu.serving import BatchedServer
 
     # peak-aggregate measurement: admit the whole batch upfront (the
-    # default bounded admission trades aggregate for TTFT fairness)
-    server = BatchedServer(str(CACHE), max_seq=MAX_SEQ, max_batch=batch,
+    # default bounded admission trades aggregate for TTFT fairness).
+    # LLMI_BENCH_PAGED=<n>: use the shared KV page pool with n pages
+    # (serving.py kv_pages) instead of dense per-slot caches.
+    kv_pages = int(os.environ.get("LLMI_BENCH_PAGED", "0")) or None
+    max_seq = int(os.environ.get("LLMI_BENCH_MAX_SEQ", str(MAX_SEQ)))
+    server = BatchedServer(str(CACHE), max_seq=max_seq, max_batch=batch,
                            mode=mode, decode_chunk=32,
-                           max_admit_per_step=batch)
+                           max_admit_per_step=batch, kv_pages=kv_pages)
     server.tokenizer.eos_id = -1
     server.tokenizer.end_of_turn_id = -1
     rng = np.random.default_rng(0)
@@ -158,7 +162,8 @@ def bench_batched(mode: str, batch: int) -> None:
     print(
         json.dumps(
             {
-                "metric": f"decode_tok_s_gemma3_1b_q4_0_batch{batch}",
+                "metric": f"decode_tok_s_gemma3_1b_q4_0_batch{batch}"
+                + ("_paged" if kv_pages else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),

@@ -589,6 +589,136 @@ def forward_batched_decode(
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
 
 
+def forward_batched_decode_paged(
+    hp: HParams,
+    w: ModelWeights,
+    pools: KVCache,  # k[i]: [n_pages, PAGE, Hkv, dk] shared page pool
+    table: Array,    # [B, max_blocks] int32 page ids; >= n_pages = unassigned
+    tokens: Array,   # [B] int32
+    pos: Array,      # [B] int32; parked slots use pos >= max_blocks*PAGE
+) -> tuple[Array, KVCache]:
+    """One batched decode step over a PAGED KV cache: HBM capacity (and
+    attention traffic) scale with the pool's live tokens, not
+    B x max_seq — the serving path for long-context batches whose dense
+    per-slot caches wouldn't fit HBM (reference contrast: one growing
+    cache, one request, model.cpp:461-474). Weight matmuls are identical
+    to forward_batched_decode; the K/V row scatters indirect through the
+    page table and attention runs the paged ragged flash-decode kernel
+    (ops/pallas/flash_decode.py paged_flash_decode)."""
+    mm = partial(matmul, exact=False, mm_impl="xla")
+    B = tokens.shape[0]
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+    lanes = jnp.arange(B, dtype=jnp.int32)
+    page = pools.k[0].shape[1]
+    max_blocks = table.shape[1]
+    n_pages = pools.k[0].shape[0]
+    parked = pos >= max_blocks * page
+    blk = jnp.minimum(pos // page, max_blocks - 1)
+    page_of = jnp.where(parked, n_pages, table[lanes, blk])  # OOB -> drop
+    off = pos % page
+    lengths = jnp.where(parked, 0, pos + 1)
+
+    use_flash = jax.default_backend() == "tpu" and hp.f_max_alibi_bias == 0.0
+
+    x = embed_rows(w.token_embd, tokens)
+    x = x * jnp.float32(math.sqrt(hp.embedding_length))
+
+    inp_per_layer = _per_layer_inputs(hp, w, tokens, x, exact=False)
+
+    new_k = list(pools.k)
+    new_v = list(pools.v)
+
+    for i, layer in enumerate(w.layers):
+        is_swa = hp.is_swa_layer(i)
+        rope_base = hp.rope_base_for_layer(i)
+        dk = hp.n_embd_head_k_swa if is_swa else hp.n_embd_head_k
+        dv = hp.n_embd_head_v_swa if is_swa else hp.n_embd_head_v
+
+        has_kv = hp.layer_has_kv(i)
+        h = _norm(x, layer.attn_norm, hp.rms_eps)
+        if layer.wqkv is not None:
+            rq, rk = hp.n_head * dk, hp.n_head_kv * dk
+            qkv = mm(layer.wqkv, h)
+            q_flat, k_flat, v_flat = (
+                qkv[:, :rq], qkv[:, rq : rq + rk], qkv[:, rq + rk :]
+            )
+        else:
+            q_flat = mm(layer.wq, h)
+            k_flat = mm(layer.wk, h) if has_kv else None
+            v_flat = mm(layer.wv, h) if has_kv else None
+
+        q = q_flat.reshape(B, hp.n_head, dk)
+        if layer.q_norm is not None:
+            q = _norm(q, layer.q_norm, hp.rms_eps)
+        q = rope(q, n_rot=dk, freq_base=rope_base, freq_scale=hp.rope_freq_scale, pos=pos)
+        q = q * jnp.float32(hp.f_attention_scale)
+
+        src = hp.kv_source_layer(i)
+        if has_kv:
+            k = k_flat.reshape(B, hp.n_head_kv, dk)
+            if layer.k_norm is not None:
+                k = _norm(k, layer.k_norm, hp.rms_eps)
+            k = rope(k, n_rot=dk, freq_base=rope_base,
+                     freq_scale=hp.rope_freq_scale, pos=pos)
+            v = v_flat.reshape(B, hp.n_head_kv, dv)
+            if hp.architecture == "gemma4":
+                v = rms_norm(v, hp.rms_eps)
+            # per-lane scatter at (page_of[b], off[b]); parked lanes drop
+            new_k[src] = new_k[src].at[page_of, off].set(
+                k.astype(new_k[src].dtype), mode="drop")
+            new_v[src] = new_v[src].at[page_of, off].set(
+                v.astype(new_v[src].dtype), mode="drop")
+
+        if use_flash:
+            from ..ops.pallas.flash_decode import paged_flash_decode
+
+            attn = paged_flash_decode(
+                q, new_k[src], new_v[src], table, lengths,
+                softcap=hp.attn_soft_cap or 0.0,
+            ).reshape(B, hp.n_head * dv)
+        else:
+            # gather-to-dense fallback (CPU tests / ALiBi): [B, S_max, ...]
+            kd = new_k[src][table].reshape(B, max_blocks * page, hp.n_head_kv, dk)
+            vd = new_v[src][table].reshape(B, max_blocks * page, hp.n_head_kv, dv)
+            attn = jax.vmap(
+                lambda qb, kb, vb, pb: _attention(
+                    qb[None], kb, vb, pos=pb, hp=hp, exact=False
+                )[0]
+            )(q, kd, vd, jnp.minimum(pos, max_blocks * page - 1))
+
+        attn = mm(layer.wo, attn)
+        if layer.post_attn_norm is not None:
+            attn = _norm(attn, layer.post_attn_norm, hp.rms_eps)
+        x = x + attn
+
+        h2 = _norm(x, layer.ffn_norm, hp.rms_eps)
+        if layer.w_gate_up is not None:
+            gu = mm(layer.w_gate_up, h2)
+            n_ff = gu.shape[-1] // 2
+            gate, up = gu[:, :n_ff], gu[:, n_ff:]
+        else:
+            gate = mm(layer.w_gate, h2)
+            up = mm(layer.w_up, h2)
+        ffn = mm(layer.w_down, gelu_tanh(gate) * up)
+        if layer.post_ffw_norm is not None:
+            ffn = _norm(ffn, layer.post_ffw_norm, hp.rms_eps)
+        x = x + ffn
+
+        if inp_per_layer is not None:
+            gate_out = gelu_tanh(mm(layer.per_layer_inp_gate, x))
+            gate_out = gate_out * inp_per_layer[:, i, :]
+            proj_out = mm(layer.per_layer_proj, gate_out)
+            proj_out = rms_norm(proj_out, hp.rms_eps) * layer.per_layer_post_norm.astype(jnp.float32)
+            x = x + proj_out
+        if layer.out_scale is not None:
+            x = x * layer.out_scale.reshape(())
+
+    x = _norm(x, w.output_norm, hp.rms_eps)
+    logits = mm(w.token_embd, x)
+    logits = softcap(logits, hp.final_logit_softcap)
+    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
+
+
 def _forward_scan(
     hp: HParams,
     w: ModelWeights,

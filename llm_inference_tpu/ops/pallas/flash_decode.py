@@ -97,6 +97,74 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, block, s
         o_ref[0] = (acc[:] / safe).astype(o_ref.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("softcap", "interpret"))
+def paged_flash_decode(
+    q: Array,  # [B, H, Dk] f32 (already scaled)
+    k_pool: Array,  # [N_pages, PAGE, Hkv, Dk]
+    v_pool: Array,  # [N_pages, PAGE, Hkv, Dv]
+    table: Array,  # [B, max_pages] int32: page id per block of each request
+    lengths: Array,  # [B] int32
+    *,
+    softcap: float = 0.0,
+    interpret: bool = False,
+) -> Array:
+    """Paged variant of :func:`flash_decode`: the KV cache lives in a
+    shared PAGE POOL and each request's blocks indirect through a
+    scalar-prefetched page table — HBM capacity scales with LIVE tokens
+    across all requests instead of batch x max_seq, and DMA still skips
+    blocks past each request's length (out-of-range grid steps clamp to
+    the request's last page, so consecutive steps re-reference the same
+    pool row and Mosaic elides the copy). The kernel body (blockwise
+    online softmax) is shared with the dense path. Page size = the kernel
+    block (DEFAULT_BLOCK)."""
+    B, H, Dk = q.shape
+    N, page, Hkv, Dv = v_pool.shape
+    nb = table.shape[1]
+
+    def pagemap(b, j, lens, tbl):
+        # clamp j to the request's last live block (skips dead-tail DMA),
+        # then clamp the page id itself: parked lanes (length 0) hit the
+        # table's unassigned sentinel (== n_pages), which would be an
+        # out-of-bounds block DMA on real TPU hardware. The kernel body
+        # never reads the block (j*page < length fails), so any valid
+        # page works.
+        last = jnp.maximum(lens[b] - 1, 0) // page
+        pid = tbl[b, jnp.minimum(j, last)]
+        return (jnp.minimum(pid, N - 1), 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, H, Dk), lambda b, j, lens, tbl: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, page, Hkv, Dk), pagemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, page, Hkv, Dv), pagemap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, Dv), lambda b, j, lens, tbl: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H, Dv), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+        ],
+    )
+
+    def kernel(lens_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr):
+        del tbl_ref  # indirection happens in the index_map
+        _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
+                block=page, softcap=softcap)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), table.astype(jnp.int32),
+      q.astype(jnp.float32), k_pool, v_pool)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "softcap", "interpret"))
 def flash_decode(
     q: Array,  # [B, H, Dk] f32 (already scaled; f16-rounded by caller if needed)

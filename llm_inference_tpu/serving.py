@@ -37,6 +37,7 @@ from .engine import prefill_bucket
 from .gguf.reader import GGUFFile
 from .models.gemma import forward, forward_batched_decode, init_cache
 from .models.weights import fuse_projections, load_weights
+from .ops.pallas.flash_decode import DEFAULT_BLOCK as PAGE
 from .tokenizer import Tokenizer
 
 
@@ -52,6 +53,7 @@ class Request:
     slot: int = -1
     pos: int = 0
     pending: int = -1  # sampled but not yet consumed token
+    pages: list[int] = dataclasses.field(default_factory=list)  # paged mode
     # timing (perf_counter seconds): submit -> first sampled token
     t_submit: float = 0.0
     t_first: float = 0.0
@@ -74,7 +76,16 @@ class BatchedServer:
         max_admit_per_step: int = 2,
         sharding_fn=None,
         cache_sharding=None,
+        kv_pages: Optional[int] = None,
     ):
+        """``kv_pages``: enable the PAGED KV cache — a shared pool of
+        ``kv_pages`` pages of 256 tokens per KV layer, so HBM capacity
+        scales with live tokens across requests instead of
+        max_batch x max_seq (a dense batch-32 x 4k cache at the 1B
+        geometry is ~35 GB; pages make that configuration fit one chip).
+        Requests allocate ceil((prompt+n_predict+chunk)/256) pages at
+        admission and free them at retirement; admission waits when the
+        pool is exhausted. Serve modes only (parity keeps dense lanes)."""
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
         self.mode = mode
@@ -171,15 +182,81 @@ class BatchedServer:
         self._chunk = jax.jit(_chunk_batched, donate_argnums=(1,))
         self._exact = exact
 
+        self.page = PAGE
+        self._paged = kv_pages is not None
         kv_dtype = jnp.float16 if mode == "parity" else jnp.bfloat16
-        one = init_cache(hp, max_seq, stacked=self._stacked, dtype=kv_dtype)
-        self._caches = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a, (max_batch,) + a.shape).copy(), one
-        )
-        if cache_sharding is not None:  # [B, S, Hkv, dk] lanes: shard KV heads
-            self._caches = jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, cache_sharding), self._caches
+        if self._paged:
+            if exact:
+                raise ValueError("paged KV serving is a serve-mode feature")
+            if max_seq % PAGE:
+                raise ValueError(f"paged serving needs max_seq % {PAGE} == 0")
+            from .models.gemma import forward_batched_decode_paged
+
+            self.kv_pages = kv_pages
+            nb = max_seq // PAGE
+
+            def _pool(dk_or_dv):
+                return jnp.zeros((kv_pages, PAGE, hp.n_head_kv, dk_or_dv),
+                                 dtype=kv_dtype)
+
+            from .models.gemma import KVCache
+
+            self._caches = KVCache(
+                k=tuple(_pool(hp.n_embd_head_k_swa if hp.is_swa_layer(i)
+                              else hp.n_embd_head_k) for i in range(hp.n_kv_layers)),
+                v=tuple(_pool(hp.n_embd_head_v_swa if hp.is_swa_layer(i)
+                              else hp.n_embd_head_v) for i in range(hp.n_kv_layers)),
             )
+            self._table = np.full((max_batch, nb), kv_pages, dtype=np.int32)
+            self._free_pages: list[int] = list(range(kv_pages))
+
+            def _chunk_paged(w, pools, table, tokens, pos):
+                def body(carry, _):
+                    c, toks, p = carry
+                    logits, c = forward_batched_decode_paged(hp, w, c, table, toks, p)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (c, nxt, p + 1), nxt
+
+                (c, _, _), toks = jax.lax.scan(body, (pools, tokens, pos), None,
+                                               length=decode_chunk)
+                return jnp.moveaxis(toks, 0, 1), c
+
+            def _prefill_paged(w, pools, pages, tokens, n_valid):
+                # dense scratch prefill (bucket-length lanes), then the
+                # bucket rows scatter into the request's pages; page rows
+                # past n_valid stay stale and are never read (causal mask)
+                bucket = tokens.shape[0]
+                scratch = init_cache(hp, max(bucket, 16), dtype=kv_dtype)
+                logits, scratch = forward(hp, w, scratch, tokens, 0, n_valid,
+                                          exact=False, mm_impl="xla")
+                nk, nv = list(pools.k), list(pools.v)
+                nbk = -(-bucket // PAGE)
+                for i in range(len(nk)):
+                    for j in range(nbk):
+                        lo = j * PAGE
+                        rows = min(bucket, lo + PAGE) - lo
+                        nk[i] = nk[i].at[pages[j], :rows].set(
+                            scratch.k[i][lo : lo + rows].astype(nk[i].dtype),
+                            mode="drop")
+                        nv[i] = nv[i].at[pages[j], :rows].set(
+                            scratch.v[i][lo : lo + rows].astype(nv[i].dtype),
+                            mode="drop")
+                from .models.gemma import KVCache as _KV
+
+                return (jnp.argmax(logits).astype(jnp.int32),
+                        _KV(k=tuple(nk), v=tuple(nv)))
+
+            self._chunk_paged = jax.jit(_chunk_paged, donate_argnums=(1,))
+            self._prefill_paged = jax.jit(_prefill_paged, donate_argnums=(1,))
+        else:
+            one = init_cache(hp, max_seq, stacked=self._stacked, dtype=kv_dtype)
+            self._caches = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (max_batch,) + a.shape).copy(), one
+            )
+            if cache_sharding is not None:  # [B, S, Hkv, dk] lanes: shard KV heads
+                self._caches = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, cache_sharding), self._caches
+                )
         self._free: list[int] = list(range(max_batch))
         self._active: dict[int, Request] = {}
         self._queue: list[Request] = []
@@ -217,6 +294,31 @@ class BatchedServer:
         same-bucket groups in ONE vmapped dispatch (padded to power-of-two
         group sizes so group shapes compile once)."""
         budget = len(self._free) if not self._active else self.max_admit_per_step
+        if self._paged:
+            while self._queue and self._free and budget > 0:
+                req = self._queue[0]
+                need_pages = -(-(len(req.prompt_ids) + req.n_predict
+                                 + self.decode_chunk) // PAGE)
+                if need_pages > len(self._free_pages):
+                    break  # pool exhausted: wait for retirements
+                self._queue.pop(0)
+                budget -= 1
+                slot = self._free.pop(0)
+                req.pages = [self._free_pages.pop(0) for _ in range(need_pages)]
+                self._table[slot, :] = self.kv_pages
+                self._table[slot, : need_pages] = req.pages
+                bucket = prefill_bucket(len(req.prompt_ids))
+                padded = np.zeros(bucket, dtype=np.int32)
+                padded[: len(req.prompt_ids)] = req.prompt_ids
+                nbk = -(-bucket // PAGE)
+                pages_arr = np.full(max(nbk, 1), self.kv_pages, dtype=np.int32)
+                pages_arr[: min(nbk, need_pages)] = req.pages[: nbk]
+                tok, self._caches = self._prefill_paged(
+                    self.weights, self._caches, jnp.asarray(pages_arr),
+                    jnp.asarray(padded), jnp.int32(len(req.prompt_ids)),
+                )
+                self._activate(req, slot, int(tok))
+            return
         while self._queue and self._free and budget > 0:
             bucket = prefill_bucket(len(self._queue[0].prompt_ids))
             group: list[Request] = []
@@ -296,9 +398,15 @@ class BatchedServer:
             tokens[slot] = req.pending
             pos[slot] = req.pos
 
-        toks, self._caches = self._chunk(
-            self.weights, self._caches, jnp.asarray(tokens), jnp.asarray(pos)
-        )
+        if self._paged:
+            toks, self._caches = self._chunk_paged(
+                self.weights, self._caches, jnp.asarray(self._table),
+                jnp.asarray(tokens), jnp.asarray(pos)
+            )
+        else:
+            toks, self._caches = self._chunk(
+                self.weights, self._caches, jnp.asarray(tokens), jnp.asarray(pos)
+            )
         toks = np.asarray(toks)  # [B, chunk]
 
         finished = []
@@ -316,8 +424,12 @@ class BatchedServer:
             if not stopped:
                 req.pending = int(toks[slot, -1])
         for slot in finished:
-            del self._active[slot]
+            req = self._active.pop(slot)
             self._free.append(slot)
+            if self._paged:
+                self._free_pages.extend(req.pages)
+                req.pages = []
+                self._table[slot, :] = self.kv_pages
         return len(self._active) + len(self._queue)
 
     def run(self, requests: list[tuple[list[int], int]]) -> list[list[int]]:

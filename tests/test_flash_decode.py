@@ -82,3 +82,35 @@ def test_flash_decode_zero_length(rng):
     ))
     assert np.isfinite(got).all()
     np.testing.assert_array_equal(got[0], 0.0)
+
+
+@pytest.mark.parametrize("hkv,group", [(1, 4), (2, 2)])
+def test_paged_flash_decode_matches_dense(hkv, group, rng):
+    """Paged pool + scrambled page table == dense ragged flash decode."""
+    from llm_inference_tpu.ops.pallas.flash_decode import paged_flash_decode
+
+    B, S, Dk, Dv, page = 3, 512, 128, 128, 128
+    H = hkv * group
+    nb = S // page
+    q = rng.standard_normal((B, H, Dk)).astype(np.float32)
+    k = rng.standard_normal((B, S, hkv, Dk)).astype(np.float16)
+    v = rng.standard_normal((B, S, hkv, Dv)).astype(np.float16)
+    lengths = np.array([1, 130, 512], dtype=np.int32)
+
+    # scatter the dense caches into a shared pool at scrambled page ids
+    n_pages = B * nb + 3
+    perm = rng.permutation(n_pages)[: B * nb]
+    table = perm.reshape(B, nb).astype(np.int32)
+    k_pool = np.zeros((n_pages, page, hkv, Dk), np.float16)
+    v_pool = np.zeros((n_pages, page, hkv, Dv), np.float16)
+    for b in range(B):
+        for j in range(nb):
+            k_pool[table[b, j]] = k[b, j * page : (j + 1) * page]
+            v_pool[table[b, j]] = v[b, j * page : (j + 1) * page]
+
+    got = np.asarray(paged_flash_decode(
+        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(table), jnp.asarray(lengths), interpret=True,
+    ))
+    want = _golden(q, k, v, lengths)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

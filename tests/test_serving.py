@@ -108,3 +108,40 @@ def test_gemma4_batched_decode():
                         mode="serve", decode_chunk=4)
     got = srv.run([([2, 7, 8], 5), ([2, 9], 5)])
     assert got == want
+
+
+def test_paged_matches_dense_server(model_buf):
+    """Paged KV pool serving == dense per-slot serving, token for token."""
+    prompts = [[2, 7, 8], [2, 10, 11, 9], [2, 12], [2, 5, 6, 7, 9]]
+    n_predict = [6, 5, 7, 4]
+
+    dense = BatchedServer(GGUFFile(model_buf), max_seq=256, max_batch=4,
+                          mode="serve", decode_chunk=4)
+    want = dense.run(list(zip(prompts, n_predict)))
+
+    paged = BatchedServer(GGUFFile(model_buf), max_seq=256, max_batch=4,
+                          mode="serve", decode_chunk=4, kv_pages=6)
+    got = paged.run(list(zip(prompts, n_predict)))
+    assert got == want
+
+
+def test_paged_pool_exhaustion_waits(model_buf):
+    """With fewer pages than concurrent requests, admission waits for
+    retirements instead of corrupting the pool; all requests complete."""
+    prompts = [[2, 7, 8], [2, 10, 11], [2, 12]]
+    n_predict = [5, 5, 5]
+    dense = BatchedServer(GGUFFile(model_buf), max_seq=256, max_batch=4,
+                          mode="serve", decode_chunk=4)
+    want = dense.run(list(zip(prompts, n_predict)))
+
+    paged = BatchedServer(GGUFFile(model_buf), max_seq=256, max_batch=4,
+                          mode="serve", decode_chunk=4, kv_pages=2)
+    got = paged.run(list(zip(prompts, n_predict)))
+    assert got == want
+    assert sorted(paged._free_pages) == [0, 1]  # all pages returned
+
+
+def test_paged_rejects_parity_mode(model_buf):
+    with pytest.raises(ValueError):
+        BatchedServer(GGUFFile(model_buf), max_seq=256, max_batch=2,
+                      mode="parity", kv_pages=4)
