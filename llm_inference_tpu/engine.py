@@ -107,10 +107,48 @@ class Engine:
             "serve-q8": "rowq8",        # per-row int8 requant, fastest kernel
             "parity": "packed",
         }[mode]
-        self.hparams, self.weights = load_weights(
-            gguf, sharding_fn=sharding_fn, mode=load_mode
-        )
-        if mode != "parity":
+        self.weights = None
+        self._capacity = False
+        if (
+            mode in ("serve-q", "serve-q4")
+            and sharding_fn is None
+            and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
+            and (jax.default_backend() == "tpu" or os.environ.get("LLMI_FUSED_INTERPRET"))
+        ):
+            # Capacity-class checkpoints (12B+): the whole-layer megakernel
+            # can't double-buffer a layer in VMEM, and the standard load +
+            # device-side maskdot repack would transiently need ~2x the
+            # weights in HBM. Decide from the tensor directory alone, load
+            # the transposed layout host-side, and decode with the STREAMED
+            # megakernel (ops/pallas/fused_decode_stream.py).
+            from .models.weights import (
+                load_maskdot_stacked,
+                maskdot_layer_bytes_estimate,
+            )
+            from .ops.pallas.fused_decode_q import (
+                _BUFFER_BUDGET as _Q_BUDGET,
+            )
+
+            q4 = mode == "serve-q4"
+            est = maskdot_layer_bytes_estimate(gguf, q4=q4)
+            if est is not None and 2 * est > _Q_BUDGET:
+                res = load_maskdot_stacked(gguf, q4=q4)
+                if res is not None:
+                    from .ops.pallas.fused_decode_stream import (
+                        megakernel_stream_supported,
+                    )
+
+                    if megakernel_stream_supported(res[0], res[1], max_seq=max_seq):
+                        self.hparams, self.weights = res
+                        self._stacked = True
+                        self._capacity = True
+                    else:
+                        del res  # free HBM before the fallback load
+        if self.weights is None:
+            self.hparams, self.weights = load_weights(
+                gguf, sharding_fn=sharding_fn, mode=load_mode
+            )
+        if mode != "parity" and not self._capacity:
             # fewer kernel launches per step; identical results (row concat
             # commutes with the contraction). Parity keeps per-tensor taps.
             self.weights = fuse_projections(self.weights)
@@ -127,10 +165,12 @@ class Engine:
             and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
             and (jax.default_backend() == "tpu" or os.environ.get("LLMI_FUSED_INTERPRET"))
         )
-        self._stacked = (
+        self._stacked = self._capacity or (
             (want_scan or want_mega) and mode != "parity"
             and layers_stackable(self.hparams, self.weights.layers)
         )
+        if self._capacity:
+            want_mega = want_scan = False  # already stacked + transposed
         if self._stacked and want_mega and not want_scan:
             # megakernel eligibility is checked on a FIRST-LAYER probe
             # BEFORE stack_layers: stacking is a full second weight copy
@@ -147,7 +187,7 @@ class Engine:
                 from .models.gemma import _megakernel_enabled
 
                 self._stacked = _megakernel_enabled(self.hparams, probe)
-        if self._stacked:
+        if self._stacked and not self._capacity:
             stacked = dataclasses.replace(
                 self.weights, layers=stack_layers(self.weights.layers)
             )

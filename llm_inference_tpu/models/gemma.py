@@ -340,6 +340,18 @@ def forward(
                     hp, w, cache, tokens[0], pos, interpret=interpret
                 )
                 return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
+            if _megakernel_stream_enabled(hp, w, max_seq=cache.k.shape[1]):
+                # capacity variant: layers too big for whole-layer VMEM
+                # double buffering stream in row-tiles instead
+                # (ops/pallas/fused_decode_stream.py).
+                from ..ops.pallas.fused_decode_stream import (
+                    decode_step_megakernel_stream,
+                )
+
+                logits, kc, vc = decode_step_megakernel_stream(
+                    hp, w, cache, tokens[0], pos, interpret=interpret
+                )
+                return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
         return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact)
 
     # Embedding gather + sqrt(n_embd) scale (reference model.cpp:710-712).
@@ -462,6 +474,23 @@ def _megakernel_q_enabled(hp: HParams, w: ModelWeights) -> bool:
     from ..ops.pallas.fused_decode_q import megakernel_q_supported
 
     return megakernel_q_supported(hp, w)
+
+
+def _megakernel_stream_enabled(hp: HParams, w: ModelWeights, *, max_seq=None) -> bool:
+    """Streamed capacity megakernel gate (ops/pallas/fused_decode_stream.py):
+    transposed maskdot layers whose whole-layer set can't double-buffer in
+    VMEM but whose projections tile into streamable lane-slices."""
+    if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
+        return False
+    if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
+        return False
+    from ..quant.device import TQ4Tensor, TQuantTensor
+
+    if not isinstance(w.layers.wqkv, (TQuantTensor, TQ4Tensor)):
+        return False
+    from ..ops.pallas.fused_decode_stream import megakernel_stream_supported
+
+    return megakernel_stream_supported(hp, w, max_seq=max_seq)
 
 
 def forward_batched_decode(

@@ -392,3 +392,169 @@ def fuse_projections(model: ModelWeights) -> ModelWeights:
             lw.w_gate = lw.w_up = None
         new_layers.append(lw)
     return dataclasses.replace(model, layers=tuple(new_layers))
+
+
+def load_maskdot_stacked(
+    gguf: GGUFFile, hparams: HParams | None = None, *, q4: bool = True
+) -> Optional[tuple[HParams, ModelWeights]]:
+    """Capacity-class load: build the STACKED masked-dot transposed layout
+    (TQuantTensor / TQ4Tensor) host-side, straight from GGUF bytes.
+
+    The small-model route (load_weights + stack_layers + maskdot_layers)
+    round-trips full int8 planar tensors through device HBM — fine for a
+    1B, impossible for a 12B on a 16 GB chip. Here each layer's fused
+    projections (QKV rows, gate|up rows) are decoded, transposed,
+    block-packed and concatenated in numpy (quant/device.py
+    maskdot_host_parts), stacked over layers, and shipped once — HBM only
+    ever holds the final 0.5-1 B/weight arrays. The streamed decode
+    megakernel (ops/pallas/fused_decode_stream.py) consumes the result
+    directly; prefill dequantizes per layer inside the scan forward.
+
+    Returns (hparams, model) or None when the checkpoint isn't
+    maskdot-loadable (heterogeneous formats, missing tensors, gemma4) —
+    callers fall back to the standard loaders.
+    """
+    from ..quant.device import TQ4Tensor, TQuantTensor, maskdot_host_parts
+
+    hp = hparams or load_hparams(gguf.metadata)
+    if hp.architecture == "gemma4" or hp.embedding_length_per_layer:
+        return None
+    infos = {i.name: i for i in gguf.tensor_infos}
+    if "token_embd.weight" not in infos or "output_norm.weight" not in infos:
+        return None
+
+    fused_sets = {
+        "wqkv": ("attn_q.weight", "attn_k.weight", "attn_v.weight"),
+        "wo": ("attn_output.weight",),
+        "w_gate_up": ("ffn_gate.weight", "ffn_up.weight"),
+        "w_down": ("ffn_down.weight",),
+    }
+    # per fused field: lists (over layers) of merged numpy arrays
+    acc: dict = {f: {"q": [], "s": [], "o": [], "meta": None} for f in fused_sets}
+    vec_fields = ("attn_norm", "ffn_norm", "q_norm", "k_norm",
+                  "post_attn_norm", "post_ffw_norm")
+    vecs: dict = {f: [] for f in vec_fields}
+    vec_names = {
+        "attn_norm": ("attn_norm.weight",),
+        "ffn_norm": ("ffn_norm.weight",),
+        "q_norm": ("attn_q_norm.weight",),
+        "k_norm": ("attn_k_norm.weight",),
+        "post_attn_norm": ("post_attention_norm.weight", "attn_post_norm.weight"),
+        "post_ffw_norm": ("post_ffw_norm.weight", "ffn_post_norm.weight"),
+    }
+
+    for i in range(hp.block_count):
+        for field, names in fused_sets.items():
+            parts = []
+            for n in names:
+                info = infos.get(f"blk.{i}.{n}")
+                if info is None:
+                    return None
+                parts.append(maskdot_host_parts(
+                    gguf.tensor_bytes(info), info.tensor_type,
+                    info.n_rows, info.n_cols, q4=q4,
+                ))
+            if any(p is None for p in parts):
+                return None
+            first = parts[0]
+            key = "packedT" if first["packedT"] is not None else "qT"
+            same = all(
+                (p["packedT"] is not None) == (first["packedT"] is not None)
+                and p["gs"] == first["gs"] and p["bg"] == first["bg"]
+                and p["mp"] == first["mp"] and p["centered"] == first["centered"]
+                and p[key].shape[0] == first[key].shape[0]
+                for p in parts
+            )
+            if not same:
+                return None
+            slot = acc[field]
+            if slot["meta"] is None:
+                slot["meta"] = first
+            q = (first[key] if len(parts) == 1
+                 else np.concatenate([p[key] for p in parts], axis=-1))
+            s = (first["sT"] if len(parts) == 1
+                 else np.concatenate([p["sT"] for p in parts], axis=-1))
+            o = None
+            if any(p["offT"] is not None for p in parts):
+                o = np.concatenate(
+                    [p["offT"] if p["offT"] is not None else np.zeros_like(p["sT"])
+                     for p in parts], axis=-1)
+            slot["q"].append(q)
+            slot["s"].append(s)
+            slot["o"].append(o)
+        for field in vec_fields:
+            info = None
+            for n in vec_names[field]:
+                info = infos.get(f"blk.{i}.{n}")
+                if info is not None:
+                    break
+            vecs[field].append(None if info is None else np.asarray(_load_v(gguf, info)))
+
+    def build(field: str, rows_cols):
+        slot = acc[field]
+        m = slot["meta"]
+        packed = m["packedT"] is not None
+        q = jax.device_put(jnp.asarray(np.stack(slot["q"])))
+        s = jax.device_put(jnp.asarray(np.stack(slot["s"])))
+        o = None
+        if any(x is not None for x in slot["o"]):
+            o = jax.device_put(jnp.asarray(np.stack(
+                [x if x is not None else np.zeros_like(slot["s"][0])
+                 for x in slot["o"]])))
+        rows, cols = rows_cols
+        cls = TQ4Tensor if packed else TQuantTensor
+        kw = dict(sT=s, offT=o, fmt=m["fmt"], rows=rows, cols=cols,
+                  group_size=m["gs"], bg=m["bg"], mp=m["mp"])
+        if packed:
+            return cls(packedT=q, centered=m["centered"], **kw)
+        return cls(qT=q, **kw)
+
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    D = hp.embedding_length
+    Rq = hp.n_head * dk + hp.n_head_kv * (dk + dv)
+    f_down = infos["blk.0.ffn_down.weight"]
+    F = f_down.n_cols
+    n_ff = infos["blk.0.ffn_gate.weight"].n_rows
+    layers = LayerWeights(
+        wqkv=build("wqkv", (Rq, D)),
+        wo=build("wo", (D, infos["blk.0.attn_output.weight"].n_cols)),
+        w_gate_up=build("w_gate_up", (2 * n_ff, D)),
+        w_down=build("w_down", (f_down.n_rows, F)),
+        **{
+            f: (None if any(v is None for v in vecs[f])
+                else jax.device_put(jnp.asarray(np.stack(vecs[f]))))
+            for f in vec_fields
+        },
+    )
+    token_embd = _load_w(gguf, infos["token_embd.weight"], None, "bf16")
+    model = ModelWeights(
+        token_embd=token_embd,
+        output_norm=_load_v(gguf, infos["output_norm.weight"]),
+        layers=layers,
+    )
+    return hp, model
+
+
+def maskdot_layer_bytes_estimate(gguf: GGUFFile, *, q4: bool) -> Optional[int]:
+    """Approximate ONE layer's maskdot weight+scale HBM bytes from the
+    tensor directory alone (no data read) — lets the engine choose the
+    whole-layer megakernel load vs the streamed capacity load BEFORE
+    loading anything (the wrong choice either OOMs a 16 GB chip or wastes
+    a full checkpoint read). None when a projection is missing or dense."""
+    infos = {i.name: i for i in gguf.tensor_infos}
+    total = 0
+    for n in ("attn_q.weight", "attn_k.weight", "attn_v.weight",
+              "attn_output.weight", "ffn_gate.weight", "ffn_up.weight",
+              "ffn_down.weight"):
+        info = infos.get(f"blk.0.{n}")
+        if info is None:
+            return None
+        fmt = GGMLType(info.tensor_type)
+        if fmt in (GGMLType.F16, GGMLType.BF16, GGMLType.F32):
+            return None
+        gs = 16 if fmt == GGMLType.Q6_K else 32
+        nel = info.n_rows * info.n_cols
+        wb = nel // 2 if (q4 and fmt in (GGMLType.Q4_0, GGMLType.Q4_K)) else nel
+        sb = (nel // gs) * 4 * (2 if fmt == GGMLType.Q4_K else 1)
+        total += wb + sb
+    return total

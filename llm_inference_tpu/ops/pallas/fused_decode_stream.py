@@ -1,0 +1,651 @@
+"""Streamed whole-step decode megakernel for CAPACITY-class models.
+
+The whole-layer megakernels (fused_decode.py, fused_decode_q.py) double-
+buffer an entire layer's weights in VMEM — perfect for 1B-class layers
+(~27 MB) but structurally impossible for 12B-class ones (a 48-layer
+Gemma-3-12B moves ~140 MB of packed weights+scales per layer; v5e VMEM is
+128 MiB total). Round-2 measurements put the per-matmul fallback at ~33%
+of the 12B stream's speed-of-light: per-kernel launch gaps and the
+unfused attention/glue leave the HBM pipe idle between GEMVs.
+
+This kernel streams each projection in ROW-TILES instead: the transposed
+masked-dot layout (quant/device.py TQuantTensor / TQ4Tensor) stores
+weights contraction-major [C, R], so a tile is a [C, TR] lane-slice —
+every group of every column is complete inside one tile, the tile's
+masked-dot output is a final [1, TR] slice of the projection (no
+cross-tile reduction), and exact f32 group scales ride per-tile.
+
+Pipeline (per layer, parts in dataflow order qkv -> wo -> gate_up -> down):
+
+  - each part owns TWO tile slots; tiles t0/t1 are prefetched by the
+    PREDECESSOR part (the previous part's last tile issue, or the layer
+    prologue), tile t+2 is issued as soon as compute on tile t frees its
+    slot — the HBM queue always holds >= 1 outstanding tile, so the
+    weight stream never stalls on the serial attention/glue chain;
+  - the layer's K/V cache copies double-buffer by layer parity and are
+    issued one layer ahead (during the previous layer's down stream);
+  - the tile loops are unrolled at trace time (static lane offsets — the
+    masked-dot output writes need static slices), with an eligibility cap
+    on the total MXU-dot count to bound Mosaic compile time;
+  - embedding row gather, attention (whole-layer cache in VMEM), K/V row
+    writeback, and the tiled tied-logits tail are identical in structure
+    to fused_decode_q.py.
+
+Same numerics as fused_decode_q.py: mixed bf16xint8 MXU dots (exact),
+masked group-partials contracted with exact f32 scales on the A-operand
+M-slot, Q4_K min-offsets via masked row sums. Reference counterpart of
+the computation chain: model.cpp:706-1049.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...quant.device import DenseTensor, TQ4Tensor, TQuantTensor
+from .fused_decode import _LOGITS_TILE, _VMEM_LIMIT, _rms, _rope_rows
+
+LANE = 128
+_BUFFER_BUDGET = 110 * 1024 * 1024
+_TILE_TARGET = 6 * 1024 * 1024  # per-slot bytes (quants + scales + offsets)
+_MAX_DOTS = 640  # unrolled MXU dot cap (trace/compile-time guard)
+
+
+def _part_meta(p):
+    """(packed, Cstore, C, R, gs, bg, bc, nblk, mp, has_off, centered)."""
+    packed = isinstance(p, TQ4Tensor)
+    qa = p.packedT if packed else p.qT
+    return dict(
+        packed=packed,
+        c_store=qa.shape[-2],
+        C=p.cols,
+        R=p.rows,
+        gs=p.group_size,
+        bg=p.bg,
+        bc=p.bg * p.group_size,
+        nblk=p.n_blocks,
+        mp=p.mp,
+        gp=p.n_blocks * p.mp,
+        has_off=p.offT is not None,
+        centered=bool(getattr(p, "centered", False)),
+    )
+
+
+def _slot_bytes(m, tr):
+    b = m["c_store"] * tr  # int8 quants (packed nibbles count as stored rows)
+    b += m["gp"] * tr * 4  # f32 scales
+    if m["has_off"]:
+        b += m["gp"] * tr * 4
+    return b
+
+
+def _pick_tr(m):
+    """Largest TR (multiple of 128 dividing R) whose slot fits the tile
+    target; None when even TR=128 doesn't fit (can't happen for real C)."""
+    R = m["R"]
+    best = None
+    for k in range(1, R // LANE + 1):
+        if R % k:
+            continue
+        tr = R // k
+        if tr % LANE:
+            continue
+        if _slot_bytes(m, tr) <= _TILE_TARGET:
+            best = tr
+            break
+    return best
+
+
+def _plan(parts):
+    """Per-part tile plans [{..meta, TR, nt}] or None (cap/shape fail)."""
+    plans = []
+    dots = 0
+    for p in parts:
+        m = _part_meta(p)
+        tr = _pick_tr(m)
+        if tr is None:
+            return None
+        m["TR"] = tr
+        m["nt"] = m["R"] // tr
+        dots += m["nt"] * m["nblk"]
+        plans.append(m)
+    if dots > _MAX_DOTS:
+        return None
+    return plans
+
+
+def megakernel_stream_supported(hp, w, *, max_seq=None) -> bool:
+    """Eligibility of the streamed capacity megakernel: the same structural
+    contract as fused_decode_q.megakernel_q_supported (stacked transposed
+    group-scaled projections, dense bf16 tied embedding, gemma3 attention)
+    WITHOUT the whole-layer VMEM bound — instead each projection must tile
+    into <=6 MB lane-slices and the unrolled dot count must stay bounded."""
+    from ...models.weights import LayerWeights
+
+    lw = w.layers
+    if not isinstance(lw, LayerWeights):
+        return False
+    if w.token_embd_per_layer is not None or hp.architecture == "gemma4":
+        return False
+    if hp.f_max_alibi_bias > 0.0:
+        return False
+    parts = [lw.wqkv, lw.wo, lw.w_gate_up, lw.w_down]
+    if any(not isinstance(p, (TQuantTensor, TQ4Tensor)) for p in parts):
+        return False
+    emb = w.token_embd
+    if not (isinstance(emb, DenseTensor) and emb.w.dtype == jnp.bfloat16):
+        return False
+    if lw.q_norm is None or lw.k_norm is None:
+        return False
+    if hp.n_embd_head_k != hp.n_embd_head_k_swa or hp.n_embd_head_v != hp.n_embd_head_v_swa:
+        return False
+    D = hp.embedding_length
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    F = lw.w_down.cols
+    Adim = lw.wo.cols
+    V = emb.rows
+    Rq = lw.wqkv.rows
+    if D % LANE or F % LANE or Adim % LANE or dk % LANE or dv % LANE:
+        return False
+    if V % 16:
+        return False  # bf16 embedding gather window
+    if V <= _LOGITS_TILE:
+        if V % LANE:
+            return False
+    elif V % _LOGITS_TILE:
+        return False
+    if Rq != hp.n_head * dk + hp.n_head_kv * (dk + dv):
+        return False
+    plans = _plan(parts)
+    if plans is None:
+        return False
+    need = sum(2 * _slot_bytes(m, m["TR"]) for m in plans)
+    need += 2 * _LOGITS_TILE * D * 2  # logits weight tiles (bf16)
+    need += sum(m["mp"] * m["C"] * 2 for m in plans)  # per-part masks (bf16)
+    if max_seq is not None:
+        need += 4 * max_seq * hp.n_head_kv * (dk + dv)  # 2 x bf16 K+V slots
+    return need <= _BUFFER_BUDGET
+
+
+def _tile_dot(qb, sb, ob, slot, x_bf, mask, m, t):
+    """One [1, TR] output slice: masked group-partial dots over the tile's
+    contraction blocks with exact f32 scales (fused_decode_q._qdot, tiled)."""
+    BC, nblk, Mp = m["bc"], m["nblk"], m["mp"]
+    acc = None
+    for b in range(nblk):
+        xm = x_bf[:, b * BC : (b + 1) * BC] * mask[:, b * BC : (b + 1) * BC]
+        if m["packed"]:
+            h = BC // 2
+            p32 = qb[slot, b * h : (b + 1) * h, :].astype(jnp.int32) & 0xFF
+            lo = (p32 & 0xF).astype(jnp.bfloat16)
+            hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
+            if m["centered"]:
+                lo = lo - 8.0
+                hi = hi - 8.0
+            wb = jnp.concatenate([lo, hi], axis=0)  # [BC, TR]
+        else:
+            wb = qb[slot, b * BC : (b + 1) * BC, :]
+        pb = jax.lax.dot_general(
+            xm, wb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Mp, TR]
+        part = jnp.sum(sb[slot, b * Mp : (b + 1) * Mp, :] * pb,
+                       axis=0, keepdims=True)
+        if ob is not None:
+            xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+            part = part - jnp.sum(
+                ob[slot, b * Mp : (b + 1) * Mp, :] * xg, axis=0, keepdims=True
+            )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
+                 eps, attn_scale, softcap, has_pa, has_pf, plans):
+    group = H // Hkv
+    nt_log = V // TN
+
+    def kernel(*refs):
+        idx = 0
+
+        def nxt():
+            nonlocal idx
+            r = refs[idx]
+            idx += 1
+            return r
+
+        token_r, pos_r, base_idx_r = nxt(), nxt(), nxt()
+        cos_r, sin_r = nxt(), nxt()
+        an_r, fn_r, qn_r, kn_r, on_r = nxt(), nxt(), nxt(), nxt(), nxt()
+        pan_r = nxt() if has_pa else None
+        pfn_r = nxt() if has_pf else None
+        win = []  # (qT, sT, offT?) HBM refs per part
+        for m in plans:
+            q_ = nxt()
+            s_ = nxt()
+            o_ = nxt() if m["has_off"] else None
+            win.append((q_, s_, o_))
+        emb_r = nxt()
+        kc, vc = nxt(), nxt()
+        logits_out, kc_out, vc_out = nxt(), nxt(), nxt()
+        wbufs = []  # (qb, sb, ob?, out, mask) VMEM per part
+        for m in plans:
+            qb_ = nxt()
+            sb_ = nxt()
+            ob_ = nxt() if m["has_off"] else None
+            out_ = nxt()
+            mask_ = nxt()
+            wbufs.append((qb_, sb_, ob_, out_, mask_))
+        kb, vb = nxt(), nxt()
+        emb_b = nxt()
+        lw_b, lo_b = nxt(), nxt()
+        x_s, h_s = nxt(), nxt()
+        wsems = [nxt() for _ in plans]  # DMA sems [2, 3] per part
+        kvsem, wbsem, lsem, osem, esem = [nxt() for _ in range(5)]
+
+        tok = token_r[0]
+        p = pos_r[0]
+
+        def tile_copies(i, l, t, slot):
+            m = plans[i]
+            qh, sh, oh = win[i]
+            qb_, sb_, ob_ = wbufs[i][0], wbufs[i][1], wbufs[i][2]
+            off = t * m["TR"]
+            cs = [
+                pltpu.make_async_copy(
+                    qh.at[l, :, pl.ds(off, m["TR"])], qb_.at[slot],
+                    wsems[i].at[slot, 0]),
+                pltpu.make_async_copy(
+                    sh.at[l, :, pl.ds(off, m["TR"])], sb_.at[slot],
+                    wsems[i].at[slot, 1]),
+            ]
+            if oh is not None:
+                cs.append(pltpu.make_async_copy(
+                    oh.at[l, :, pl.ds(off, m["TR"])], ob_.at[slot],
+                    wsems[i].at[slot, 2]))
+            return cs
+
+        def start_head(i, l):
+            """Prefetch tiles 0 (and 1) of part i for layer l."""
+            for c in tile_copies(i, l, 0, 0):
+                c.start()
+            if plans[i]["nt"] > 1:
+                for c in tile_copies(i, l, 1, 1):
+                    c.start()
+
+        def kv_copies(l, slot):
+            return [
+                pltpu.make_async_copy(kc.at[l], kb.at[slot], kvsem.at[slot, 0]),
+                pltpu.make_async_copy(vc.at[l], vb.at[slot], kvsem.at[slot, 1]),
+            ]
+
+        def run_part(i, l, x_bf, *, tail):
+            """Stream part i's tiles for layer l; returns [1, R] f32.
+            ``tail(t)`` runs after each tile's compute (successor issues)."""
+            m = plans[i]
+            qb_, sb_, ob_, out_, mask_ = wbufs[i]
+            for t in range(m["nt"]):
+                slot = t % 2
+                for c in tile_copies(i, l, t, slot):
+                    c.wait()
+                out_[:, t * m["TR"] : (t + 1) * m["TR"]] = _tile_dot(
+                    qb_, sb_, ob_, slot, x_bf, mask_[:], m, t)
+                if t + 2 < m["nt"]:
+                    for c in tile_copies(i, l, t + 2, slot):
+                        c.start()
+                tail(t)
+            return out_[:]
+
+        # prologue: embedding row window, layer-0 qkv tiles + K/V cache
+        tok0 = pl.multiple_of((tok // 16) * 16, 16)
+        e0 = pltpu.make_async_copy(emb_r.at[pl.ds(tok0, 16)], emb_b, esem.at[0])
+        e0.start()
+        start_head(0, 0)
+        for c in kv_copies(0, 0):
+            c.start()
+
+        # part masks: group-local 0/1 pattern, periodic in BC; constant
+        # across layers (built once, under the prologue DMA shadow).
+        # Padding rows m >= bg come out zero.
+        for i, m in enumerate(plans):
+            sub = jax.lax.broadcasted_iota(jnp.int32, (m["mp"], m["C"]), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (m["mp"], m["C"]), 1)
+            wbufs[i][4][:] = jnp.maximum(
+                0, 1 - jnp.abs((lane % m["bc"]) // m["gs"] - sub)
+            ).astype(jnp.bfloat16)
+
+        e0.wait()
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) == tok - tok0)
+        row = jnp.sum(jnp.where(rowsel, emb_b[:].astype(jnp.float32), 0.0),
+                      axis=0, keepdims=True)
+        x_s[:] = row * jnp.float32(math.sqrt(D))
+
+        def body(l, carry):
+            slot_kv = jax.lax.rem(l, 2)
+
+            x = x_s[:]
+            h = (_rms(x, eps) * an_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
+
+            def qkv_tail(t):
+                if t == plans[0]["nt"] - 1:
+                    start_head(1, l)  # wo tiles ride under attention
+
+            qkv = run_part(0, l, h, tail=qkv_tail)  # [1, Rq]
+
+            q = qkv[:, : H * dk].reshape(H, dk)
+            k = qkv[:, H * dk : H * dk + Hkv * dk].reshape(Hkv, dk)
+            v = qkv[:, H * dk + Hkv * dk :].reshape(Hkv, dv)
+            q = _rms(q, eps) * qn_r[pl.ds(l, 1), :]
+            k = _rms(k, eps) * kn_r[pl.ds(l, 1), :]
+            bi = base_idx_r[l]
+            cos = cos_r[pl.ds(bi, 1), :]
+            sin = sin_r[pl.ds(bi, 1), :]
+            q = _rope_rows(q, cos, sin) * jnp.float32(attn_scale)
+            k = _rope_rows(k, cos, sin)
+            kbv = k.astype(jnp.bfloat16)
+            vbv = v.astype(jnp.bfloat16)
+            qb = q.astype(jnp.bfloat16)
+
+            # wait the layer's cache, insert the new K/V row, write it back
+            for c in kv_copies(l, slot_kv):
+                c.wait()
+            p0 = pl.multiple_of((p // 16) * 16, 16)
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) == p - p0
+            kwin = kb[slot_kv, pl.ds(p0, 16), :]
+            vwin = vb[slot_kv, pl.ds(p0, 16), :]
+            kb[slot_kv, pl.ds(p0, 16), :] = jnp.where(
+                rsel, kbv.reshape(1, Hkv * dk), kwin)
+            vb[slot_kv, pl.ds(p0, 16), :] = jnp.where(
+                rsel, vbv.reshape(1, Hkv * dv), vwin)
+            wk = pltpu.make_async_copy(
+                kb.at[slot_kv, pl.ds(p0, 16), :],
+                kc_out.at[l, pl.ds(p0, 16), :], wbsem.at[0])
+            wv = pltpu.make_async_copy(
+                vb.at[slot_kv, pl.ds(p0, 16), :],
+                vc_out.at[l, pl.ds(p0, 16), :], wbsem.at[1])
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
+            ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+            valid = ids <= p
+            outs = []
+            for i in range(Hkv):
+                qi = qb[i * group : (i + 1) * group, :]
+                ki = kb[slot_kv][:, i * dk : (i + 1) * dk]
+                s = jax.lax.dot_general(
+                    qi, ki,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if softcap > 0.0:
+                    s = softcap * jnp.tanh(s / softcap)
+                s = jnp.where(valid, s, -jnp.inf)
+                mx = jnp.max(s, axis=1, keepdims=True)
+                pr = jnp.where(valid, jnp.exp(s - mx), 0.0)
+                denom = jnp.sum(pr, axis=1, keepdims=True)
+                vi = vb[slot_kv][:, i * dv : (i + 1) * dv]
+                pv = jax.lax.dot_general(
+                    pr.astype(jnp.bfloat16), vi,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append(pv / denom)
+            attn = outs[0] if Hkv == 1 else jnp.concatenate(outs, axis=0)
+            attn_flat = attn.reshape(1, H * dv).astype(jnp.bfloat16)
+
+            def wo_tail(t):
+                if t == plans[1]["nt"] - 1:
+                    start_head(2, l)
+
+            y = run_part(1, l, attn_flat, tail=wo_tail)
+            if has_pa:
+                y = _rms(y, eps) * pan_r[pl.ds(l, 1), :]
+            x2 = x + y
+            h2 = (_rms(x2, eps) * fn_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
+
+            def gu_tail(t):
+                if t == plans[2]["nt"] - 1:
+                    start_head(3, l)
+
+            gu = run_part(2, l, h2, tail=gu_tail)  # [1, 2F]
+            g = gu[:, :F]
+            u = gu[:, F:]
+            c = jnp.float32(0.7978845608028654)
+            a = 0.5 * g * (1.0 + jnp.tanh(c * (g + 0.044715 * g * g * g))) * u
+
+            def down_tail(t):
+                if t == 0:
+                    # next layer's cache rides under the down stream
+                    @pl.when(l + 1 < L)
+                    def _():
+                        for c_ in kv_copies(l + 1, 1 - slot_kv):
+                            c_.start()
+                if t == plans[3]["nt"] - 1:
+                    @pl.when(l + 1 < L)
+                    def _():
+                        start_head(0, l + 1)
+
+            y3 = run_part(3, l, a.astype(jnp.bfloat16), tail=down_tail)
+            if has_pf:
+                y3 = _rms(y3, eps) * pfn_r[pl.ds(l, 1), :]
+            x_s[:] = x2 + y3
+            return carry
+
+        jax.lax.fori_loop(0, L, body, 0)
+
+        h_s[:] = (_rms(x_s[:], eps) * on_r[:]).astype(jnp.bfloat16)
+
+        # tied-embedding logits: bf16 [TN, D] tiles, double-buffered
+        def lcopies(t, s_):
+            off = pl.multiple_of(t * TN, 16)
+            return [
+                pltpu.make_async_copy(emb_r.at[pl.ds(off, TN)], lw_b.at[s_],
+                                      lsem.at[s_]),
+            ]
+
+        def ocopy(t, s_):
+            off = pl.multiple_of(t * TN, 128)
+            return pltpu.make_async_copy(
+                lo_b.at[s_], logits_out.at[:, pl.ds(off, TN)], osem.at[s_])
+
+        for c in lcopies(0, 0):
+            c.start()
+
+        def lbody(t, carry):
+            s_ = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < nt_log)
+            def _():
+                for c in lcopies(t + 1, 1 - s_):
+                    c.start()
+
+            for c in lcopies(t, s_):
+                c.wait()
+
+            @pl.when(t >= 2)
+            def _():
+                ocopy(t - 2, s_).wait()
+
+            lo_b[s_] = jax.lax.dot_general(
+                h_s[:], lw_b[s_],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ocopy(t, s_).start()
+            return carry
+
+        jax.lax.fori_loop(0, nt_log, lbody, 0)
+        for t in range(max(0, nt_log - 2), nt_log):
+            ocopy(t, t % 2).wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
+                     "has_pa", "has_pf", "plan_key", "interpret"),
+)
+def _run_step(
+    token, pos, base_idx, cos, sin, an, fn_, qn, kn, on, pan, pfn,
+    wparts, emb, kc, vc,
+    *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
+    plan_key, interpret=False,
+):
+    # plan_key: hashable per-part meta (rebuilt into dicts here so the jit
+    # cache keys on it; the array shapes alone don't capture gs/bg/packed)
+    plans = [dict(kv) for kv in plan_key]
+    L = wparts[0][0].shape[0]
+    D = plans[0]["C"]
+    Rq = plans[0]["R"]
+    Adim = plans[1]["C"]
+    F = plans[3]["C"]
+    V = emb.shape[0]
+    S = kc.shape[1]  # [L, S, Hkv*dk]
+    TN = V if V <= _LOGITS_TILE else _LOGITS_TILE
+    if S % 16:
+        raise ValueError(f"megakernel needs max_seq % 16 == 0, got {S}")
+    if V % 16 or TN % LANE:
+        raise ValueError(f"megakernel needs vocab % 16 == 0, got {V}")
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = pl.BlockSpec(memory_space=pl.ANY)
+
+    in_specs = [smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem]
+    args = [token, pos, base_idx, cos, sin, an, fn_, qn, kn, on]
+    if has_pa:
+        in_specs.append(vmem)
+        args.append(pan)
+    if has_pf:
+        in_specs.append(vmem)
+        args.append(pfn)
+    scratch = []
+    for m, parts in zip(plans, wparts):
+        for x in parts:
+            in_specs.append(anym)
+            args.append(x)
+        scratch.append(pltpu.VMEM((2, m["c_store"], m["TR"]), jnp.int8))
+        scratch.append(pltpu.VMEM((2, m["gp"], m["TR"]), jnp.float32))
+        if m["has_off"]:
+            scratch.append(pltpu.VMEM((2, m["gp"], m["TR"]), jnp.float32))
+        scratch.append(pltpu.VMEM((1, m["R"]), jnp.float32))  # output
+        scratch.append(pltpu.VMEM((m["mp"], m["C"]), jnp.bfloat16))  # mask
+    in_specs += [anym, anym, anym]
+    args += [emb, kc, vc]
+    kc_idx = len(args) - 2
+    vc_idx = len(args) - 1
+
+    kernel = _make_kernel(
+        L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim, V=V,
+        S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
+        has_pa=has_pa, has_pf=has_pf, plans=plans,
+    )
+    scratch += [
+        pltpu.VMEM((2, S, Hkv * dk), kc.dtype),
+        pltpu.VMEM((2, S, Hkv * dv), vc.dtype),
+        pltpu.VMEM((16, D), jnp.bfloat16),
+        pltpu.VMEM((2, TN, D), jnp.bfloat16),
+        pltpu.VMEM((2, 1, TN), jnp.float32),
+        pltpu.VMEM((1, D), jnp.float32),
+        pltpu.VMEM((1, D), jnp.bfloat16),
+    ]
+    scratch += [pltpu.SemaphoreType.DMA((2, 3)) for _ in plans]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((1,)),
+    ]
+    wbytes = sum(p[0].shape[1] * p[0].shape[2] for p in wparts)
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(anym, anym, anym),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, V), jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ),
+        input_output_aliases={kc_idx: 1, vc_idx: 2},
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 16 * L * wbytes + 2 * V * D,
+            bytes_accessed=L * wbytes + V * D * 2 + 2 * L * S * Hkv * dk,
+            transcendentals=L * (F + H * S),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _freeze(plans):
+    return tuple(tuple(sorted(m.items())) for m in plans)
+
+
+def decode_step_megakernel_stream(hp, w, cache, token, pos, *, interpret=False):
+    """One single-token decode step of a capacity-class model as one
+    streamed Pallas call over transposed group-scaled weights. Returns
+    (logits [vocab] f32 — softcap applied by the caller, new cache)."""
+    lw = w.layers
+    L = lw.wqkv.sT.shape[0]
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    half = dk // 2
+
+    bases = sorted({hp.rope_base_for_layer(i) for i in range(L)})
+    base_idx = jnp.asarray(
+        [bases.index(hp.rope_base_for_layer(i)) for i in range(L)],
+        dtype=jnp.int32,
+    )
+    pos_f = jnp.asarray(pos, dtype=jnp.float32)
+    i_ = jnp.arange(half, dtype=jnp.float32)
+    rows = []
+    for b in bases:
+        freq = 1.0 / jnp.power(jnp.float32(b), 2.0 * i_ / dk)
+        rows.append(pos_f * freq / jnp.float32(hp.rope_freq_scale))
+    val = jnp.stack(rows)
+    cos, sin = jnp.cos(val), jnp.sin(val)
+
+    f32 = jnp.float32
+    has_pa = lw.post_attn_norm is not None
+    has_pf = lw.post_ffw_norm is not None
+    weights = [lw.wqkv, lw.wo, lw.w_gate_up, lw.w_down]
+    plans = _plan(weights)
+    if plans is None:
+        raise ValueError("streamed megakernel: no tile plan for this geometry")
+    wparts = tuple(
+        ((wt.packedT if m["packed"] else wt.qT), wt.sT)
+        + ((wt.offT,) if wt.offT is not None else ())
+        for wt, m in zip(weights, plans)
+    )
+    logits, kc, vc = _run_step(
+        jnp.asarray(token, dtype=jnp.int32).reshape(1),
+        jnp.asarray(pos, dtype=jnp.int32).reshape(1),
+        base_idx, cos, sin,
+        lw.attn_norm.astype(f32), lw.ffn_norm.astype(f32),
+        lw.q_norm.astype(f32), lw.k_norm.astype(f32),
+        w.output_norm.astype(f32)[None, :],
+        lw.post_attn_norm.astype(f32) if has_pa else None,
+        lw.post_ffw_norm.astype(f32) if has_pf else None,
+        wparts,
+        w.token_embd.w,
+        cache.k.reshape(L, cache.k.shape[1], -1),
+        cache.v.reshape(L, cache.v.shape[1], -1),
+        eps=hp.rms_eps, attn_scale=hp.f_attention_scale,
+        softcap=hp.attn_soft_cap or 0.0,
+        H=hp.n_head, Hkv=hp.n_head_kv, dk=dk, dv=dv,
+        has_pa=has_pa, has_pf=has_pf,
+        plan_key=_freeze(plans), interpret=interpret,
+    )
+    return logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape)

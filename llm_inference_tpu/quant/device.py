@@ -669,3 +669,65 @@ def pack_q4(qt: QuantTensor) -> Optional[Q4Tensor]:
         group_size=qt.group_size,
         centered=centered,
     )
+
+
+def maskdot_host_parts(
+    raw: np.ndarray, fmt: GGMLType, rows: int, cols: int, *, q4: bool = True
+) -> Optional[dict]:
+    """Build the masked-dot transposed layout (TQuantTensor / TQ4Tensor
+    arrays) straight from raw GGUF block bytes ON THE HOST.
+
+    The device-side route (transpose_for_maskdot + pack_maskdot_q4) needs
+    the full int8 planar tensor resident in HBM first — ~12 GB of
+    transients for a 12B checkpoint, which cannot coexist with the final
+    weights on a 16 GB chip. This builds the exact same arrays in numpy so
+    only the final layout ever crosses to the device (the capacity-class
+    load path, models/weights.py load_maskdot_stacked).
+
+    Returns numpy arrays (no device_put — the caller stacks layers first):
+    ``{'qT' | 'packedT', 'sT', 'offT', 'fmt', 'gs', 'bg', 'mp',
+    'centered'}``; None when the format/geometry has no maskdot plan.
+    """
+    fmt = GGMLType(fmt)
+    plan = _PLANAR.get(fmt)
+    if plan is None:
+        return None
+    gs = 16 if fmt == GGMLType.Q6_K else 32
+    native_out = _native_repack(np.asarray(raw), int(fmt), rows, cols, gs)
+    if native_out is not None:
+        q, scale, offset = native_out
+    else:
+        q, scale, offset, gs = plan(np.asarray(raw), rows, cols)
+    geom = maskdot_block_geom(cols, gs)
+    if geom is None:
+        return None
+    bg, bc, nblk, mp = geom
+    q = np.asarray(q).reshape(rows, cols)  # logical column order
+    qT = np.ascontiguousarray(q.T)  # [C, R] int8
+
+    def pad_t(s: np.ndarray) -> np.ndarray:
+        # [R, G] -> [G, R] -> [nblk, bg, R] zero-padded to mp -> [nblk*mp, R]
+        st = np.ascontiguousarray(np.asarray(s, dtype=np.float32).T)
+        st = st.reshape(nblk, bg, rows)
+        if mp != bg:
+            st = np.pad(st, [(0, 0), (0, mp - bg), (0, 0)])
+        return st.reshape(nblk * mp, rows)
+
+    out = dict(
+        qT=qT, packedT=None,
+        sT=pad_t(scale),
+        offT=None if offset is None else pad_t(offset),
+        fmt=fmt, gs=gs, bg=bg, mp=mp, centered=False,
+    )
+    if q4 and fmt in (GGMLType.Q4_0, GGMLType.Q4_K) and bc % 2 == 0:
+        # block-paired nibble packing (TQ4Tensor contract): within block b,
+        # transposed row j < bc/2 is the LOW nibble, j + bc/2 the HIGH one
+        centered = fmt == GGMLType.Q4_0
+        u = (qT + 8 if centered else qT).astype(np.uint8)
+        ub = u.reshape(nblk, bc, rows)
+        h = bc // 2
+        packed = (ub[:, :h, :] | (ub[:, h:, :] << 4)).astype(np.uint8)
+        out["packedT"] = packed.view(np.int8).reshape(cols // 2, rows)
+        out["qT"] = None
+        out["centered"] = centered
+    return out

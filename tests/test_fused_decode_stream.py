@@ -1,0 +1,191 @@
+"""Streamed capacity decode megakernel (ops/pallas/fused_decode_stream.py)
+and the host-side maskdot load (models/weights.py load_maskdot_stacked):
+the row-tiled one-call-per-token path must match the XLA serve path on the
+same packed weights, with multi-tile streaming forced via a tiny tile
+target. Runs in Pallas interpreter mode on the CPU backend."""
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_tpu.gguf import GGUFFile
+from llm_inference_tpu.gguf.constants import GGMLType
+from llm_inference_tpu.models import forward, init_cache, load_weights
+from llm_inference_tpu.models.gemma import _megakernel_stream_enabled
+from llm_inference_tpu.models.weights import (
+    fuse_projections,
+    load_maskdot_stacked,
+    maskdot_layer_bytes_estimate,
+    maskdot_layers,
+    stack_layers,
+)
+from llm_inference_tpu.ops.pallas import fused_decode_stream as fds
+from llm_inference_tpu.quant.device import TQ4Tensor, TQuantTensor
+
+from fixtures import build_gemma3_gguf
+
+
+def _buf(weight_fmt=GGMLType.Q4_0, n_layers=3):
+    vocab = [f"t{i}" for i in range(256)]
+    vocab[1] = "<eos>"
+    vocab[2] = "<bos>"
+    vocab[3] = "<unk>"
+    return build_gemma3_gguf(
+        n_layers=n_layers, n_embd=256, n_ff=512, n_head=4, n_head_kv=2,
+        head_dim=128, vocab=vocab, with_post_norms=True,
+        weight_fmt=weight_fmt,
+    )
+
+
+@pytest.fixture()
+def stream_env(monkeypatch):
+    monkeypatch.setenv("LLMI_FUSED_INTERPRET", "1")
+    # force multi-tile streaming at test shapes (prod target is 6 MB);
+    # must stay >= the TR=128 slot of the biggest part (C=512 int8: 72 KB)
+    monkeypatch.setattr(fds, "_TILE_TARGET", 80 * 1024)
+
+
+@pytest.mark.parametrize("weight_fmt", [GGMLType.Q4_0, GGMLType.Q4_K])
+@pytest.mark.parametrize("q4", [False, True])
+def test_host_load_matches_device_transform(weight_fmt, q4):
+    """load_maskdot_stacked must build bit-identical arrays to the
+    device-side stack_layers + maskdot_layers route."""
+    buf = _buf(weight_fmt)
+    hp, w = load_weights(GGUFFile(buf), mode="packed-serve")
+    w = fuse_projections(w)
+    want = maskdot_layers(
+        dataclasses.replace(w, layers=stack_layers(w.layers)), q4=q4
+    )
+    got = load_maskdot_stacked(GGUFFile(buf), q4=q4)
+    assert got is not None
+    hp2, w2 = got
+    assert hp2.block_count == hp.block_count
+    for f in ("wqkv", "wo", "w_gate_up", "w_down"):
+        a = getattr(want.layers, f)
+        b = getattr(w2.layers, f)
+        assert type(a) is type(b), f
+        if isinstance(a, TQ4Tensor):
+            np.testing.assert_array_equal(
+                np.asarray(a.packedT), np.asarray(b.packedT), err_msg=f)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a.qT), np.asarray(b.qT), err_msg=f)
+        np.testing.assert_array_equal(
+            np.asarray(a.sT), np.asarray(b.sT), err_msg=f)
+        assert (a.offT is None) == (b.offT is None)
+        if a.offT is not None:
+            np.testing.assert_array_equal(
+                np.asarray(a.offT), np.asarray(b.offT), err_msg=f)
+    for f in ("attn_norm", "ffn_norm", "q_norm", "k_norm",
+              "post_attn_norm", "post_ffw_norm"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(want.layers, f)),
+            np.asarray(getattr(w2.layers, f)), err_msg=f)
+    assert w2.token_embd.w.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("weight_fmt", [GGMLType.Q4_0, GGMLType.Q4_K])
+@pytest.mark.parametrize("q4", [False, True])
+def test_stream_kernel_matches_xla_serve(stream_env, monkeypatch, weight_fmt, q4):
+    """The streamed megakernel (multi-tile, cross-part prefetch, Q4_K
+    offsets) vs per-layer XLA serve on the same checkpoint — dispatched
+    through forward() with the whole-layer kernel made ineligible."""
+    from llm_inference_tpu.ops.pallas import fused_decode_q as fdq
+
+    monkeypatch.setattr(fdq, "_BUFFER_BUDGET", 0)  # capacity-class layers
+
+    buf = _buf(weight_fmt)
+    hp, w = load_weights(GGUFFile(buf), mode="packed-serve")
+    w = fuse_projections(w)
+    _, ws = load_maskdot_stacked(GGUFFile(buf), q4=q4)
+    assert isinstance(
+        ws.layers.wqkv,
+        TQ4Tensor if (q4 and weight_fmt in (GGMLType.Q4_0, GGMLType.Q4_K))
+        else TQuantTensor,
+    )
+    assert _megakernel_stream_enabled(hp, ws, max_seq=64)
+    # multi-tile plans at these shapes (the point of the test)
+    plans = fds._plan([ws.layers.wqkv, ws.layers.wo,
+                       ws.layers.w_gate_up, ws.layers.w_down])
+    assert max(m["nt"] for m in plans) > 1
+
+    cache_ref = init_cache(hp, 64, dtype=jnp.bfloat16)
+    cache_fus = init_cache(hp, 64, stacked=True, dtype=jnp.bfloat16)
+    fwd_ref = jax.jit(partial(forward, hp, exact=False, mm_impl="xla"))
+    fwd_fus = jax.jit(partial(forward, hp, exact=False, mm_impl="auto"))
+
+    toks = jnp.asarray([2, 7, 8], dtype=jnp.int32)
+    _, cache_ref = fwd_ref(w, cache_ref, toks, 0)
+    _, cache_fus = fwd_fus(ws, cache_fus, toks, 0)
+
+    pos = 3
+    for step in range(3):
+        tok = jnp.asarray([9 + step], dtype=jnp.int32)
+        d_ref, cache_ref = fwd_ref(w, cache_ref, tok, pos)
+        d_fus, cache_fus = fwd_fus(ws, cache_fus, tok, pos)
+        pos += 1
+        d_ref, d_fus = np.asarray(d_ref), np.asarray(d_fus)
+        scale = max(1.0, np.abs(d_ref).max())
+        # same exact weights; differences are bf16 rounding-order (the
+        # kernel applies scales in f32, the XLA path rounds the
+        # dequantized matrix to bf16)
+        np.testing.assert_allclose(d_fus, d_ref, atol=1.5e-2 * scale,
+                                   err_msg=f"step {step}")
+        assert d_ref.argmax() == d_fus.argmax()
+
+    k_ref = np.stack([np.asarray(k, dtype=np.float32) for k in cache_ref.k])
+    k_fus = np.asarray(cache_fus.k, dtype=np.float32)
+    np.testing.assert_allclose(k_fus[:, :pos], k_ref[:, :pos], atol=4e-2)
+
+
+def test_stream_eligibility_bounds(stream_env):
+    """max_seq drives the KV VMEM term; absurd sequences are rejected."""
+    buf = _buf()
+    _, ws = load_maskdot_stacked(GGUFFile(buf), q4=True)
+    hp, _ = load_weights(GGUFFile(buf), mode="packed-serve")
+    assert fds.megakernel_stream_supported(hp, ws, max_seq=64)
+    assert not fds.megakernel_stream_supported(hp, ws, max_seq=1 << 24)
+
+
+def test_layer_bytes_estimate():
+    buf = _buf()
+    gguf = GGUFFile(buf)
+    est = maskdot_layer_bytes_estimate(gguf, q4=True)
+    # one layer: qkv 1024x256/2 + wo 256x512/2 + gate_up 1024x256/2 +
+    # down 256x512/2 nibbles + f32 scales per 32
+    hp, w = load_weights(gguf, mode="packed-serve")
+    lw = fuse_projections(w).layers[0]
+    want = 0
+    for f in ("wqkv", "wo", "w_gate_up", "w_down"):
+        p = getattr(lw, f)
+        want += p.rows * p.cols // 2 + (p.rows * p.cols // 32) * 4
+    assert est == want
+
+
+def test_capacity_engine_end_to_end(stream_env, monkeypatch, tmp_path):
+    """Engine takes the capacity load + streamed-kernel path when the
+    whole-layer budget can't hold a layer, and reproduces the standard
+    serve-q4 engine's greedy stream."""
+    from llm_inference_tpu.engine import Engine
+    from llm_inference_tpu.ops.pallas import fused_decode_q as fdq
+
+    buf = _buf()
+    path = tmp_path / "m.gguf"
+    path.write_bytes(buf)
+
+    ref = Engine(str(path), max_seq=64, mode="serve-q4", decode_chunk=4)
+    assert not ref._capacity
+    prompt = ref.tokenizer.encode("ab", apply_chat_template=False).ids
+    want = ref.generate_from_ids(prompt, n_predict=8)
+
+    monkeypatch.setattr(fdq, "_BUFFER_BUDGET", 0)
+    eng = Engine(str(path), max_seq=64, mode="serve-q4", decode_chunk=4)
+    assert eng._capacity
+    assert isinstance(eng.weights.layers.wqkv, TQ4Tensor)
+    got = eng.generate_from_ids(prompt, n_predict=8)
+    assert got == want
