@@ -147,6 +147,16 @@ def main() -> None:
     ap.add_argument("--generate", type=int, default=8)
     args = ap.parse_args()
     if args.which == "27b":
+        # XLA:CPU kills collectives whose slowest participant lags the
+        # first arrival by >40s — a 27B-shard matmul on a virtual CPU
+        # device takes minutes, so raise the rendezvous timeouts (real
+        # TPU slices have no such limit; this is emulation-only).
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=1800"
+            + " --xla_cpu_collective_timeout_seconds=7200"
+        ).strip()
         # force the CPU backend even where a TPU PJRT plugin is registered
         # (the plugin overrides JAX_PLATFORMS) — the 27B demo is about the
         # virtual-mesh sharding program, and 17 GB would OOM one chip
