@@ -111,3 +111,29 @@ def test_tp_batched_server(tp_setup):
     )
     got = srv.run([([2, 7, 8], 5), ([2, 12], 5)])
     assert got == want
+
+
+def test_dp_x_tp_batched_server():
+    """Two-axis mesh: batch lanes sharded over 'data', weights and KV
+    heads over 'model' — token parity with the single-device server."""
+    from llm_inference_tpu.parallel import batched_kv_cache_sharding
+    from llm_inference_tpu.serving import BatchedServer
+
+    buf = build_gemma3_gguf(n_layers=2, n_embd=128, n_ff=256,
+                            n_head=4, n_head_kv=4, seed=3)
+    reqs = [([2, 7, 8], 4), ([2, 9], 4), ([2, 5, 6, 7], 4), ([2, 11], 4)]
+    ref = BatchedServer(GGUFFile(buf), max_seq=32, max_batch=4,
+                        mode="serve-q8", decode_chunk=4)
+    want = ref.run(reqs)
+
+    mesh = make_mesh(model=4, data=2)
+    srv = BatchedServer(
+        GGUFFile(buf), max_seq=32, max_batch=4, mode="serve-q8",
+        decode_chunk=4,
+        sharding_fn=gemma_sharding_fn(mesh),
+        cache_sharding=batched_kv_cache_sharding(mesh, ref.hparams.n_head_kv),
+    )
+    got = srv.run(reqs)
+    assert got == want
+    cache_spec = srv._caches.k[0].sharding.spec
+    assert cache_spec[0] == "data" and cache_spec[2] == "model"
