@@ -119,6 +119,34 @@ def _plan(parts):
     return plans
 
 
+def _base_need(plans, D, Hkv, dk, dv, max_seq):
+    """VMEM bytes for everything except the logits tiles: double-buffered
+    weight slots, per-part masks, and the parity-double-buffered K/V."""
+    need = sum(2 * _slot_bytes(m, m["TR"]) for m in plans)
+    need += sum(m["mp"] * m["C"] * 2 for m in plans)  # bf16 masks
+    if max_seq is not None:
+        need += 4 * max_seq * Hkv * (dk + dv)  # 2 x bf16 K+V slots
+    return need
+
+
+def _pick_tn(V, D, base_need):
+    """Largest logits tile TN (<=_LOGITS_TILE, dividing V, lane-aligned)
+    whose two bf16 [TN, D] buffers fit the remaining VMEM budget. The 1B
+    geometry keeps TN=4096; capacity models (D 3840+) shrink it so the
+    fixed tile no longer blows the budget. None when even TN=256 fails."""
+    if V <= _LOGITS_TILE:
+        tn = V
+        if V % LANE:
+            return None
+        return tn if base_need + 2 * tn * D * 2 <= _BUFFER_BUDGET else None
+    tn = _LOGITS_TILE
+    while tn >= 256:
+        if V % tn == 0 and base_need + 2 * tn * D * 2 <= _BUFFER_BUDGET:
+            return tn
+        tn //= 2
+    return None
+
+
 def megakernel_stream_supported(hp, w, *, max_seq=None) -> bool:
     """Eligibility of the streamed capacity megakernel: the same structural
     contract as fused_decode_q.megakernel_q_supported (stacked transposed
@@ -154,22 +182,13 @@ def megakernel_stream_supported(hp, w, *, max_seq=None) -> bool:
         return False
     if V % 16:
         return False  # bf16 embedding gather window
-    if V <= _LOGITS_TILE:
-        if V % LANE:
-            return False
-    elif V % _LOGITS_TILE:
-        return False
     if Rq != hp.n_head * dk + hp.n_head_kv * (dk + dv):
         return False
     plans = _plan(parts)
     if plans is None:
         return False
-    need = sum(2 * _slot_bytes(m, m["TR"]) for m in plans)
-    need += 2 * _LOGITS_TILE * D * 2  # logits weight tiles (bf16)
-    need += sum(m["mp"] * m["C"] * 2 for m in plans)  # per-part masks (bf16)
-    if max_seq is not None:
-        need += 4 * max_seq * hp.n_head_kv * (dk + dv)  # 2 x bf16 K+V slots
-    return need <= _BUFFER_BUDGET
+    base = _base_need(plans, D, hp.n_head_kv, dk, dv, max_seq)
+    return _pick_tn(V, D, base) is not None
 
 
 def _tile_dot(qb, sb, ob, slot, x_bf, mask, m, t):
@@ -510,7 +529,9 @@ def _run_step(
     F = plans[3]["C"]
     V = emb.shape[0]
     S = kc.shape[1]  # [L, S, Hkv*dk]
-    TN = V if V <= _LOGITS_TILE else _LOGITS_TILE
+    TN = _pick_tn(V, D, _base_need(plans, D, Hkv, dk, dv, S))
+    if TN is None:
+        raise ValueError("streamed megakernel: no logits tile fits VMEM")
     if S % 16:
         raise ValueError(f"megakernel needs max_seq % 16 == 0, got {S}")
     if V % 16 or TN % LANE:

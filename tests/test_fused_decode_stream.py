@@ -167,6 +167,37 @@ def test_layer_bytes_estimate():
     assert est == want
 
 
+def test_12b_geometry_plans_eligible():
+    """The real Gemma-3-12B geometry (the kernel's design target) must
+    pass the tile planner and the adaptive logits-tile pick in serve-q4:
+    48 layers, d=3840, ffn=15360, 16/8 heads, head_dim 256, vocab 262144.
+    Pure planning math — no arrays."""
+    from llm_inference_tpu.quant.device import maskdot_block_geom
+
+    D, F, H, Hkv, dk, dv, V = 3840, 15360, 16, 8, 256, 256, 262144
+    Rq = H * dk + Hkv * (dk + dv)
+
+    def meta(rows, cols):
+        bg, bc, nblk, mp = maskdot_block_geom(cols, 32)
+        return dict(packed=True, c_store=cols // 2, C=cols, R=rows, gs=32,
+                    bg=bg, bc=bc, nblk=nblk, mp=mp, gp=nblk * mp,
+                    has_off=False, centered=True)
+
+    metas, dots = [], 0
+    for rows, cols in ((Rq, D), (D, H * dv), (2 * F, D), (D, F)):
+        m = meta(rows, cols)
+        tr = fds._pick_tr(m)
+        assert tr is not None, (rows, cols)
+        m["TR"], m["nt"] = tr, rows // tr
+        dots += m["nt"] * m["nblk"]
+        metas.append(m)
+    assert dots <= fds._MAX_DOTS
+    base = fds._base_need(metas, D, Hkv, dk, dv, 1024)
+    tn = fds._pick_tn(V, D, base)
+    assert tn is not None and tn >= 1024  # the fixed 4096 tile was 63 MB
+    assert base + 2 * tn * D * 2 <= fds._BUFFER_BUDGET
+
+
 def test_capacity_engine_end_to_end(stream_env, monkeypatch, tmp_path):
     """Engine takes the capacity load + streamed-kernel path when the
     whole-layer budget can't hold a layer, and reproduces the standard
