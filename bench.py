@@ -31,12 +31,12 @@ VOCAB_SIZE = 262144
 CACHE = Path(os.environ.get("LLMI_BENCH_GGUF", "/tmp/llmi_bench_gemma3_1b_q4_0.gguf"))
 
 PREFILL_LEN = 32
-DECODE_STEPS = 256
+DECODE_STEPS = int(os.environ.get("LLMI_BENCH_STEPS", "256"))
 WARMUP_STEPS = 8
-MAX_SEQ = 1024
+MAX_SEQ = int(os.environ.get("LLMI_BENCH_MAX_SEQ", "1024"))
 # one on-device scan per dispatch; big chunks amortize the host round-trip
 # (through the axon tunnel a dispatch costs ~35 ms)
-DECODE_CHUNK = 256
+DECODE_CHUNK = int(os.environ.get("LLMI_BENCH_CHUNK", "256"))
 
 
 def build_checkpoint() -> None:

@@ -131,7 +131,11 @@ class Engine:
 
             q4 = mode == "serve-q4"
             est = maskdot_layer_bytes_estimate(gguf, q4=q4)
-            if est is not None and 2 * est > _Q_BUDGET:
+            # LLMI_FORCE_CAPACITY=1: take the capacity load + streamed
+            # kernel even when layers fit the whole-layer budget — lets
+            # the streamed path be validated/profiled on small models.
+            force = os.environ.get("LLMI_FORCE_CAPACITY", "0") == "1"
+            if est is not None and (2 * est > _Q_BUDGET or force):
                 res = load_maskdot_stacked(gguf, q4=q4)
                 if res is not None:
                     from .ops.pallas.fused_decode_stream import (

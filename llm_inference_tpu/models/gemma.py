@@ -465,6 +465,8 @@ def _megakernel_q_enabled(hp: HParams, w: ModelWeights) -> bool:
     (models/weights.py maskdot_layers, applied at engine load)."""
     if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
         return False
+    if os.environ.get("LLMI_FORCE_CAPACITY", "0") == "1":
+        return False  # let the streamed capacity kernel take the step
     if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
     from ..quant.device import TQ4Tensor, TQuantTensor

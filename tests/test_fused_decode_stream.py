@@ -220,3 +220,12 @@ def test_capacity_engine_end_to_end(stream_env, monkeypatch, tmp_path):
     assert isinstance(eng.weights.layers.wqkv, TQ4Tensor)
     got = eng.generate_from_ids(prompt, n_predict=8)
     assert got == want
+
+    # LLMI_FORCE_CAPACITY takes the same path without shrinking the
+    # whole-layer budget (the TPU-side validation knob for small models)
+    monkeypatch.undo()
+    monkeypatch.setenv("LLMI_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("LLMI_FORCE_CAPACITY", "1")
+    eng2 = Engine(str(path), max_seq=64, mode="serve-q4", decode_chunk=4)
+    assert eng2._capacity
+    assert eng2.generate_from_ids(prompt, n_predict=8) == want
