@@ -395,7 +395,8 @@ def fuse_projections(model: ModelWeights) -> ModelWeights:
 
 
 def load_maskdot_stacked(
-    gguf: GGUFFile, hparams: HParams | None = None, *, q4: bool = True
+    gguf: GGUFFile, hparams: HParams | None = None, *, q4: bool = True,
+    mesh=None, axis: str = "model",
 ) -> Optional[tuple[HParams, ModelWeights]]:
     """Capacity-class load: build the STACKED masked-dot transposed layout
     (TQuantTensor / TQ4Tensor) host-side, straight from GGUF bytes.
@@ -413,7 +414,17 @@ def load_maskdot_stacked(
     Returns (hparams, model) or None when the checkpoint isn't
     maskdot-loadable (heterogeneous formats, missing tensors, gemma4) —
     callers fall back to the standard loaders.
+
+    ``mesh``: optional jax.sharding.Mesh for the TP capacity load (the
+    27B-on-a-slice program, BASELINE north star): every maskdot weight
+    leaf [L, C*, R] is sharded on its ROWS (output features, the last
+    dim) over ``axis`` and the tied embedding on its vocab rows — each
+    chip holds 1/n of every projection, decode reads 1/n of the weight
+    bytes per chip, and GSPMD inserts only tiny activation all-gathers
+    (output-feature sharding needs no contraction psum). Leaves whose
+    row count doesn't divide the axis replicate (correct, undistributed).
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from ..quant.device import TQ4Tensor, TQuantTensor, maskdot_host_parts
 
     hp = hparams or load_hparams(gguf.metadata)
@@ -490,17 +501,29 @@ def load_maskdot_stacked(
                     break
             vecs[field].append(None if info is None else np.asarray(_load_v(gguf, info)))
 
+    def _put(arr: np.ndarray):
+        if mesh is None:
+            return jax.device_put(jnp.asarray(arr))
+        n = mesh.shape[axis]
+        spec = (P(None, None, axis) if arr.shape[-1] % n == 0 else P())
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    def _put_repl(arr):
+        if mesh is None:
+            return jax.device_put(jnp.asarray(arr))
+        return jax.device_put(np.asarray(arr), NamedSharding(mesh, P()))
+
     def build(field: str, rows_cols):
         slot = acc[field]
         m = slot["meta"]
         packed = m["packedT"] is not None
-        q = jax.device_put(jnp.asarray(np.stack(slot["q"])))
-        s = jax.device_put(jnp.asarray(np.stack(slot["s"])))
+        q = _put(np.stack(slot["q"]))
+        s = _put(np.stack(slot["s"]))
         o = None
         if any(x is not None for x in slot["o"]):
-            o = jax.device_put(jnp.asarray(np.stack(
+            o = _put(np.stack(
                 [x if x is not None else np.zeros_like(slot["s"][0])
-                 for x in slot["o"]])))
+                 for x in slot["o"]]))
         rows, cols = rows_cols
         cls = TQ4Tensor if packed else TQuantTensor
         kw = dict(sT=s, offT=o, fmt=m["fmt"], rows=rows, cols=cols,
@@ -522,14 +545,22 @@ def load_maskdot_stacked(
         w_down=build("w_down", (f_down.n_rows, F)),
         **{
             f: (None if any(v is None for v in vecs[f])
-                else jax.device_put(jnp.asarray(np.stack(vecs[f]))))
+                else _put_repl(np.stack(vecs[f])))
             for f in vec_fields
         },
     )
-    token_embd = _load_w(gguf, infos["token_embd.weight"], None, "bf16")
+    emb_sharding = None
+    if mesh is not None:
+        from ..parallel.sharding import _LeafSharding
+
+        if infos["token_embd.weight"].n_rows % mesh.shape[axis] == 0:
+            emb_sharding = _LeafSharding(mesh, axis, dim=0)
+        else:
+            emb_sharding = NamedSharding(mesh, P())
+    token_embd = _load_w(gguf, infos["token_embd.weight"], emb_sharding, "bf16")
     model = ModelWeights(
         token_embd=token_embd,
-        output_norm=_load_v(gguf, infos["output_norm.weight"]),
+        output_norm=_put_repl(_load_v(gguf, infos["output_norm.weight"])),
         layers=layers,
     )
     return hp, model

@@ -167,6 +167,36 @@ def test_layer_bytes_estimate():
     assert est == want
 
 
+def test_capacity_tp_sharded_load_matches_unsharded():
+    """load_maskdot_stacked(mesh=...) must row-shard every maskdot weight
+    leaf over 'model' (the 27B-on-a-slice capacity program) and produce
+    logits matching the unsharded load through the prefill/scan forward."""
+    from functools import partial
+
+    from llm_inference_tpu.parallel import make_mesh
+
+    buf = _buf()
+    hp, w_ref = load_maskdot_stacked(GGUFFile(buf), q4=True)
+    mesh = make_mesh(model=8, data=1)
+    hp2, w_tp = load_maskdot_stacked(GGUFFile(buf), q4=True, mesh=mesh)
+    # every projection's rows (last dim) sharded over the 8 devices
+    for f in ("wqkv", "wo", "w_gate_up", "w_down"):
+        p = getattr(w_tp.layers, f)
+        leaf = p.packedT if isinstance(p, TQ4Tensor) else p.qT
+        assert len(leaf.sharding.device_set) == 8, f
+        assert leaf.sharding.spec[-1] == "model", f
+        assert p.sT.sharding.spec[-1] == "model", f
+    assert w_tp.token_embd.w.sharding.spec[0] == "model"
+
+    cache_a = init_cache(hp, 32, stacked=True, dtype=jnp.bfloat16)
+    cache_b = init_cache(hp2, 32, stacked=True, dtype=jnp.bfloat16)
+    fwd = jax.jit(partial(forward, hp, exact=False, mm_impl="xla"))
+    toks = jnp.asarray([2, 7, 8], dtype=jnp.int32)
+    la, _ = fwd(w_ref, cache_a, toks, 0)
+    lb, _ = fwd(w_tp, cache_b, toks, 0)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la), atol=2e-5)
+
+
 def test_12b_geometry_plans_eligible():
     """The real Gemma-3-12B geometry (the kernel's design target) must
     pass the tile planner and the adaptive logits-tile pick in serve-q4:
