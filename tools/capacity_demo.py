@@ -105,7 +105,7 @@ def run_12b(generate: int) -> None:
         hbm_report("after generate")
 
 
-def run_27b() -> None:
+def run_27b(layout: str = "maskdot") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -117,11 +117,21 @@ def run_27b() -> None:
     n = len(jax.devices())
     mesh = make_mesh(model=n, data=1)
     t0 = time.time()
-    # packed-serve: lossless planar int8 + exact group scales (pack_q4's
-    # nibble pass would round-trip every sharded tensor through the host)
-    hp, w = load_weights(GGUFFile(str(path)), sharding_fn=gemma_sharding_fn(mesh),
-                         mode="packed-serve")
-    print(f"27B packed int8 TP load over {n} devices: {time.time()-t0:.0f}s", flush=True)
+    if layout == "maskdot":
+        # serve-q4 capacity layout TP-sharded: 0.5 B/weight nibble-packed
+        # maskdot arrays row-sharded over the mesh (~1.7 GB/chip at 8) —
+        # the program a v5e-16 slice serves the 27B with.
+        from llm_inference_tpu.models.weights import load_maskdot_stacked
+
+        hp, w = load_maskdot_stacked(GGUFFile(str(path)), q4=True, mesh=mesh)
+        print(f"27B serve-q4 maskdot TP load over {n} devices: "
+              f"{time.time()-t0:.0f}s", flush=True)
+    else:
+        # packed-serve: lossless planar int8 + exact group scales (pack_q4's
+        # nibble pass would round-trip every sharded tensor through the host)
+        hp, w = load_weights(GGUFFile(str(path)), sharding_fn=gemma_sharding_fn(mesh),
+                             mode="packed-serve")
+        print(f"27B packed int8 TP load over {n} devices: {time.time()-t0:.0f}s", flush=True)
     per_dev = {}
     for leaf in jax.tree_util.tree_leaves(w):
         if hasattr(leaf, "addressable_shards"):
@@ -129,8 +139,16 @@ def run_27b() -> None:
                 per_dev[s.device] = per_dev.get(s.device, 0) + s.data.nbytes
     for d, b in sorted(per_dev.items(), key=lambda kv: str(kv[0])):
         print(f"  {d}: {b/1e9:.2f} GB of weights", flush=True)
-    cache = init_cache(hp, 128, sharding=kv_cache_sharding(mesh, hp.n_head_kv),
-                       dtype=jnp.bfloat16)
+    if layout == "maskdot":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        kv_sh = NamedSharding(
+            mesh, P(None, None, "model" if hp.n_head_kv % n == 0 else None, None))
+        cache = init_cache(hp, 128, sharding=kv_sh, stacked=True,
+                           dtype=jnp.bfloat16)
+    else:
+        cache = init_cache(hp, 128, sharding=kv_cache_sharding(mesh, hp.n_head_kv),
+                           dtype=jnp.bfloat16)
     from functools import partial
 
     fwd = jax.jit(partial(forward, hp, exact=False, mm_impl="xla"))
@@ -145,6 +163,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=["12b", "27b"])
     ap.add_argument("--generate", type=int, default=8)
+    ap.add_argument("--layout", choices=["maskdot", "int8"], default="maskdot",
+                    help="27b: serve-q4 maskdot TP load (default) or planar int8")
     args = ap.parse_args()
     if args.which == "27b":
         # XLA:CPU kills collectives whose slowest participant lags the
@@ -163,7 +183,7 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        run_27b()
+        run_27b(args.layout)
     else:
         run_12b(args.generate)
 
