@@ -182,6 +182,67 @@ class BatchedServer:
         self._chunk = jax.jit(_chunk_batched, donate_argnums=(1,))
         self._exact = exact
 
+        # Batched whole-step megakernel: the per-op batched program above
+        # is weight-optimal in bytes but ~200 device kernels per step; one
+        # Pallas call per step removes the launch gaps
+        # (ops/pallas/fused_decode_batch.py). Dense serve-q8 lanes only —
+        # keeps a SECOND (stacked) copy of the layer weights for the
+        # decode path while prefill keeps the per-layer set.
+        self._mega_batch = False
+        if (
+            mode == "serve-q8"
+            and sharding_fn is None
+            and kv_pages is None
+            and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("LLMI_FUSED_INTERPRET"))
+        ):
+            import dataclasses as _dc
+
+            from .models.weights import layers_stackable, stack_layers
+            from .ops.pallas.fused_decode_batch import megakernel_batch_supported
+
+            if layers_stackable(hp, self.weights.layers):
+                ws = _dc.replace(
+                    self.weights, layers=stack_layers(self.weights.layers))
+                if megakernel_batch_supported(
+                        hp, ws, batch=max_batch, max_seq=max_seq):
+                    self._w_stacked = ws
+                    self._mega_batch = True
+
+        if self._mega_batch:
+            from .models.gemma import KVCache as _KV
+            from .models.gemma import softcap as _softcap
+            from .ops.pallas.fused_decode_batch import (
+                decode_step_megakernel_batch,
+            )
+
+            interp = (jax.default_backend() != "tpu"
+                      and bool(os.environ.get("LLMI_FUSED_INTERPRET")))
+            n_kv = hp.n_kv_layers
+
+            def _chunk_mega(w, caches, tokens, pos):
+                # stack the per-layer lanes at the chunk boundary (one
+                # cache copy per chunk, amortized over decode_chunk steps)
+                ck = jnp.stack(caches.k)
+                cv = jnp.stack(caches.v)
+
+                def body(carry, _):
+                    ck, cv, toks, p = carry
+                    logits, ck, cv = decode_step_megakernel_batch(
+                        hp, w, _KV(k=ck, v=cv), toks, p, interpret=interp)
+                    logits = _softcap(logits, hp.final_logit_softcap)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (ck, cv, nxt, p + 1), nxt
+
+                (ck, cv, _, _), toks = jax.lax.scan(
+                    body, (ck, cv, tokens, pos), None, length=decode_chunk)
+                caches = _KV(k=tuple(ck[i] for i in range(n_kv)),
+                             v=tuple(cv[i] for i in range(n_kv)))
+                return jnp.moveaxis(toks, 0, 1), caches
+
+            self._chunk_mega = jax.jit(_chunk_mega, donate_argnums=(1,))
+
         self.page = PAGE
         self._paged = kv_pages is not None
         kv_dtype = jnp.float16 if mode == "parity" else jnp.bfloat16
@@ -402,6 +463,10 @@ class BatchedServer:
             toks, self._caches = self._chunk_paged(
                 self.weights, self._caches, jnp.asarray(self._table),
                 jnp.asarray(tokens), jnp.asarray(pos)
+            )
+        elif self._mega_batch:
+            toks, self._caches = self._chunk_mega(
+                self._w_stacked, self._caches, jnp.asarray(tokens), jnp.asarray(pos)
             )
         else:
             toks, self._caches = self._chunk(
