@@ -481,6 +481,23 @@ def load_maskdot_stacked(
             slot = acc[field]
             if slot["meta"] is None:
                 slot["meta"] = first
+            else:
+                # cross-LAYER consistency: llama.cpp checkpoints mix
+                # formats across layers (use_more_bits); a mismatched fmt,
+                # centering, or geometry must fall back to the standard
+                # loader rather than stack under layer-0's meta — a
+                # same-shape Q4_0/Q4_K mix would otherwise decode layer
+                # quants with the wrong centering, silently corrupting.
+                m0 = slot["meta"]
+                if (
+                    m0["fmt"] != first["fmt"]
+                    or (m0["packedT"] is None) != (first["packedT"] is None)
+                    or m0["gs"] != first["gs"] or m0["bg"] != first["bg"]
+                    or m0["mp"] != first["mp"]
+                    or m0["centered"] != first["centered"]
+                    or (m0["offT"] is None) != (first["offT"] is None)
+                ):
+                    return None
             q = (first[key] if len(parts) == 1
                  else np.concatenate([p[key] for p in parts], axis=-1))
             s = (first["sT"] if len(parts) == 1

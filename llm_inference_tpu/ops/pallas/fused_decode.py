@@ -86,6 +86,37 @@ def _rowq8(w) -> bool:
     return isinstance(w, QuantTensor) and w.groups == 1
 
 
+def _rope_tables(hp, L, pos):
+    """Shared rope precompute for the megakernel wrappers: one cos/sin
+    row per distinct rope base (reference ops.cpp:67-95).
+
+    ``pos`` scalar -> (base_idx [L], cos/sin [n_bases, dk//2]);
+    ``pos`` [B]    -> (base_idx [L], cos/sin [B*n_bases, dk//2]), rows
+    flattened lane-major so a kernel indexes row b*n_bases + base_idx[l].
+    """
+    dk = hp.n_embd_head_k
+    half = dk // 2
+    bases = sorted({hp.rope_base_for_layer(i) for i in range(L)})
+    base_idx = jnp.asarray(
+        [bases.index(hp.rope_base_for_layer(i)) for i in range(L)],
+        dtype=jnp.int32,
+    )
+    pos_f = jnp.asarray(pos, dtype=jnp.float32)
+    batched = pos_f.ndim == 1
+    if batched:
+        pos_f = pos_f[:, None]
+    i_ = jnp.arange(half, dtype=jnp.float32)
+    rows = []
+    for b in bases:
+        freq = 1.0 / jnp.power(jnp.float32(b), 2.0 * i_ / dk)
+        rows.append(pos_f * freq / jnp.float32(hp.rope_freq_scale))
+    if batched:
+        val = jnp.stack(rows, axis=1).reshape(pos_f.shape[0] * len(bases), half)
+    else:
+        val = jnp.stack(rows)
+    return base_idx, jnp.cos(val), jnp.sin(val)
+
+
 def _sizes(hp, lw, token_embd):
     D = hp.embedding_length
     F = lw.w_down.cols
@@ -445,22 +476,7 @@ def decode_step_megakernel(hp, w, cache, token, pos, *, interpret=False):
     lw = w.layers
     L = lw.wqkv.q.shape[0]
     dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
-    half = dk // 2
-
-    # rope tables per distinct base (reference ops.cpp:67-95)
-    bases = sorted({hp.rope_base_for_layer(i) for i in range(L)})
-    base_idx = jnp.asarray(
-        [bases.index(hp.rope_base_for_layer(i)) for i in range(L)],
-        dtype=jnp.int32,
-    )
-    pos_f = jnp.asarray(pos, dtype=jnp.float32)
-    i_ = jnp.arange(half, dtype=jnp.float32)
-    rows = []
-    for b in bases:
-        freq = 1.0 / jnp.power(jnp.float32(b), 2.0 * i_ / dk)
-        rows.append(pos_f * freq / jnp.float32(hp.rope_freq_scale))
-    val = jnp.stack(rows)  # [nb, half]
-    cos, sin = jnp.cos(val), jnp.sin(val)
+    base_idx, cos, sin = _rope_tables(hp, L, pos)
 
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None

@@ -50,6 +50,7 @@ from .fused_decode import (
     _mixed_dot,
     _rms,
     _rope_rows,
+    _rope_tables,
     _rowq8,
     _sizes,
 )
@@ -90,7 +91,11 @@ def megakernel_batch_supported(hp, w, *, batch, max_seq) -> bool:
     layer_bytes = Rq * D + D * Adim + 2 * F * D + D * F
     kv_bytes = 2 * batch * max_seq * hp.n_head_kv * (dk + dv) * 2
     tn = V if V <= _LOGITS_TILE else _LOGITS_TILE
-    need = 2 * layer_bytes + kv_bytes + 2 * tn * D + batch * (32 * D + 6 * D)
+    need = 2 * layer_bytes + kv_bytes
+    need += 2 * tn * D + 2 * 1 * tn * 4  # logits weight tiles + scales
+    need += 2 * batch * tn * 4  # lo_b: double-buffered [B, TN] f32 out
+    need += 2 * (Rq + 2 * D + 2 * F) * 4  # per-part f32 row-scale slots
+    need += batch * (32 * D + 128 * 4 + 6 * D)  # emb windows + x/h bufs
     return need <= _BUFFER_BUDGET
 
 
@@ -424,22 +429,10 @@ def decode_step_megakernel_batch(hp, w, cache, tokens, pos, *, interpret=False):
     half = dk // 2
     S = cache.k.shape[2]
 
-    bases = sorted({hp.rope_base_for_layer(i) for i in range(L)})
-    base_idx = jnp.asarray(
-        [bases.index(hp.rope_base_for_layer(i)) for i in range(L)],
-        dtype=jnp.int32,
-    )
     pos = jnp.minimum(jnp.asarray(pos, dtype=jnp.int32), S - 1)
     # per-lane rope rows, flattened [B * n_bases, half] (kernel indexes
     # row bl * n_bases + base_idx[l])
-    pos_f = pos.astype(jnp.float32)[:, None]
-    i_ = jnp.arange(half, dtype=jnp.float32)
-    rows = []
-    for b in bases:
-        freq = 1.0 / jnp.power(jnp.float32(b), 2.0 * i_ / dk)
-        rows.append(pos_f * freq / jnp.float32(hp.rope_freq_scale))
-    val = jnp.stack(rows, axis=1).reshape(B * len(bases), half)
-    cos, sin = jnp.cos(val), jnp.sin(val)
+    base_idx, cos, sin = _rope_tables(hp, L, pos)
 
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None

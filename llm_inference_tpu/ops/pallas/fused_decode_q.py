@@ -49,7 +49,13 @@ from ...quant.device import (
     TQuantTensor,
     maskdot_block_geom,
 )
-from .fused_decode import _LOGITS_TILE, _VMEM_LIMIT, _rms, _rope_rows
+from .fused_decode import (
+    _LOGITS_TILE,
+    _VMEM_LIMIT,
+    _rms,
+    _rope_rows,
+    _rope_tables,
+)
 
 LANE = 128
 _BUFFER_BUDGET = 110 * 1024 * 1024
@@ -516,19 +522,7 @@ def decode_step_megakernel_q(hp, w, cache, token, pos, *, interpret=False):
     dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
     half = dk // 2
 
-    bases = sorted({hp.rope_base_for_layer(i) for i in range(L)})
-    base_idx = jnp.asarray(
-        [bases.index(hp.rope_base_for_layer(i)) for i in range(L)],
-        dtype=jnp.int32,
-    )
-    pos_f = jnp.asarray(pos, dtype=jnp.float32)
-    i_ = jnp.arange(half, dtype=jnp.float32)
-    rows = []
-    for b in bases:
-        freq = 1.0 / jnp.power(jnp.float32(b), 2.0 * i_ / dk)
-        rows.append(pos_f * freq / jnp.float32(hp.rope_freq_scale))
-    val = jnp.stack(rows)
-    cos, sin = jnp.cos(val), jnp.sin(val)
+    base_idx, cos, sin = _rope_tables(hp, L, pos)
 
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None

@@ -48,9 +48,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...quant.device import DenseTensor, TQ4Tensor, TQuantTensor
-from .fused_decode import _LOGITS_TILE, _VMEM_LIMIT, _rms, _rope_rows
+from .fused_decode import (
+    LANE,
+    _LOGITS_TILE,
+    _VMEM_LIMIT,
+    _rms,
+    _rope_rows,
+    _rope_tables,
+)
 
-LANE = 128
 _BUFFER_BUDGET = 110 * 1024 * 1024
 _TILE_TARGET = 6 * 1024 * 1024  # per-slot bytes (quants + scales + offsets)
 _MAX_DOTS = 640  # unrolled MXU dot cap (trace/compile-time guard)
@@ -145,6 +151,90 @@ def _pick_tn(V, D, base_need):
             return tn
         tn //= 2
     return None
+
+
+def stream_supported_from_directory(gguf, hp, *, q4, max_seq) -> bool:
+    """Structural eligibility from the GGUF tensor DIRECTORY alone — every
+    input to the tile planner (formats, rows/cols, group geometry, dot
+    cap, logits-tile fit) is derivable without reading tensor data, so
+    the engine can reject the capacity path before paying the multi-GB
+    host repack + upload (measured 2586 s for the 27B) only to throw it
+    away. Conservative: a True here can still be refined by the
+    post-load megakernel_stream_supported; a False is final."""
+    from ...gguf.constants import GGMLType
+    from ...quant.device import _PLANAR, maskdot_block_geom
+
+    if hp.architecture == "gemma4" or hp.embedding_length_per_layer:
+        return False
+    if hp.f_max_alibi_bias > 0.0:
+        return False
+    if (hp.n_embd_head_k != hp.n_embd_head_k_swa
+            or hp.n_embd_head_v != hp.n_embd_head_v_swa):
+        return False
+    infos = {i.name: i for i in gguf.tensor_infos}
+    for req in ("token_embd.weight", "output_norm.weight",
+                "blk.0.attn_q_norm.weight", "blk.0.attn_k_norm.weight"):
+        if req not in infos:
+            return False
+    names = ("attn_q.weight", "attn_k.weight", "attn_v.weight",
+             "attn_output.weight", "ffn_gate.weight", "ffn_up.weight",
+             "ffn_down.weight")
+    fmt = None
+    for l in range(hp.block_count):
+        for n in names:
+            info = infos.get(f"blk.{l}.{n}")
+            if info is None:
+                return False
+            f = GGMLType(info.tensor_type)
+            if f not in _PLANAR:
+                return False
+            if fmt is None:
+                fmt = f
+            elif f != fmt:  # load_maskdot_stacked rejects mixed layers
+                return False
+    gs = 16 if fmt == GGMLType.Q6_K else 32
+    packed = q4 and fmt in (GGMLType.Q4_0, GGMLType.Q4_K)
+    has_off = fmt == GGMLType.Q4_K
+    D = hp.embedding_length
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    Rq = sum(infos[f"blk.0.{n}"].n_rows
+             for n in ("attn_q.weight", "attn_k.weight", "attn_v.weight"))
+    Adim = infos["blk.0.attn_output.weight"].n_cols
+    F = infos["blk.0.ffn_down.weight"].n_cols
+    n_ff = infos["blk.0.ffn_gate.weight"].n_rows
+    V = infos["token_embd.weight"].n_rows
+    if Rq != hp.n_head * dk + hp.n_head_kv * (dk + dv):
+        return False
+    if D % LANE or F % LANE or Adim % LANE or dk % LANE or dv % LANE:
+        return False
+    if V % 16 or (max_seq is not None and max_seq % 16):
+        return False
+
+    def meta(rows, cols):
+        geom = maskdot_block_geom(cols, gs)
+        if geom is None:
+            return None
+        bg, bc, nblk, mp = geom
+        p_ = packed and bc % 2 == 0
+        return dict(packed=p_, c_store=cols // 2 if p_ else cols, C=cols,
+                    R=rows, gs=gs, bg=bg, bc=bc, nblk=nblk, mp=mp,
+                    gp=nblk * mp, has_off=has_off, centered=False)
+
+    metas, dots = [], 0
+    for rows, cols in ((Rq, D), (D, Adim), (2 * n_ff, D), (D, F)):
+        m = meta(rows, cols)
+        if m is None:
+            return False
+        tr = _pick_tr(m)
+        if tr is None:
+            return False
+        m["TR"], m["nt"] = tr, rows // tr
+        dots += m["nt"] * m["nblk"]
+        metas.append(m)
+    if dots > _MAX_DOTS:
+        return False
+    base = _base_need(metas, D, hp.n_head_kv, dk, dv, max_seq)
+    return _pick_tn(V, D, base) is not None
 
 
 def megakernel_stream_supported(hp, w, *, max_seq=None) -> bool:
@@ -624,19 +714,7 @@ def decode_step_megakernel_stream(hp, w, cache, token, pos, *, interpret=False):
     dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
     half = dk // 2
 
-    bases = sorted({hp.rope_base_for_layer(i) for i in range(L)})
-    base_idx = jnp.asarray(
-        [bases.index(hp.rope_base_for_layer(i)) for i in range(L)],
-        dtype=jnp.int32,
-    )
-    pos_f = jnp.asarray(pos, dtype=jnp.float32)
-    i_ = jnp.arange(half, dtype=jnp.float32)
-    rows = []
-    for b in bases:
-        freq = 1.0 / jnp.power(jnp.float32(b), 2.0 * i_ / dk)
-        rows.append(pos_f * freq / jnp.float32(hp.rope_freq_scale))
-    val = jnp.stack(rows)
-    cos, sin = jnp.cos(val), jnp.sin(val)
+    base_idx, cos, sin = _rope_tables(hp, L, pos)
 
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None

@@ -203,11 +203,14 @@ class BatchedServer:
             from .ops.pallas.fused_decode_batch import megakernel_batch_supported
 
             if layers_stackable(hp, self.weights.layers):
-                ws = _dc.replace(
-                    self.weights, layers=stack_layers(self.weights.layers))
+                # probe eligibility on a FIRST-LAYER view before paying the
+                # full stacked weight copy (the same OOM guard engine.py
+                # uses): supported() reads only first-layer shapes.
+                probe = _dc.replace(self.weights, layers=self.weights.layers[0])
                 if megakernel_batch_supported(
-                        hp, ws, batch=max_batch, max_seq=max_seq):
-                    self._w_stacked = ws
+                        hp, probe, batch=max_batch, max_seq=max_seq):
+                    self._w_stacked = _dc.replace(
+                        self.weights, layers=stack_layers(self.weights.layers))
                     self._mega_batch = True
 
         if self._mega_batch:

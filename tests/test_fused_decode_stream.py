@@ -152,6 +152,23 @@ def test_stream_eligibility_bounds(stream_env):
     assert not fds.megakernel_stream_supported(hp, ws, max_seq=1 << 24)
 
 
+@pytest.mark.parametrize("weight_fmt", [GGMLType.Q4_0, GGMLType.Q4_K])
+@pytest.mark.parametrize("q4", [False, True])
+def test_directory_precheck_agrees_with_postload(stream_env, weight_fmt, q4):
+    """The directory-only structural precheck (no tensor reads) must agree
+    with the post-load eligibility on loadable checkpoints."""
+    buf = _buf(weight_fmt)
+    gguf = GGUFFile(buf)
+    hp, _ = load_weights(gguf, mode="packed-serve")
+    pre = fds.stream_supported_from_directory(gguf, hp, q4=q4, max_seq=64)
+    _, ws = load_maskdot_stacked(GGUFFile(buf), q4=q4)
+    post = fds.megakernel_stream_supported(hp, ws, max_seq=64)
+    assert pre == post == True  # noqa: E712
+    # absurd max_seq rejected by both
+    assert not fds.stream_supported_from_directory(
+        gguf, hp, q4=q4, max_seq=1 << 24)
+
+
 def test_layer_bytes_estimate():
     buf = _buf()
     gguf = GGUFFile(buf)
