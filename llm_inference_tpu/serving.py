@@ -387,7 +387,7 @@ class BatchedServer:
             bucket = prefill_bucket(len(self._queue[0].prompt_ids))
             group: list[Request] = []
             while (
-                self._queue and self._free and budget > 0
+                self._queue and len(group) < len(self._free) and budget > 0
                 and prefill_bucket(len(self._queue[0].prompt_ids)) == bucket
                 and (self._exact is False or not group)
             ):

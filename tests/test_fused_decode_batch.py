@@ -163,6 +163,40 @@ def test_batched_server_megakernel_token_parity(fused_env, monkeypatch, tmp_path
     assert got == want
 
 
+def test_batched_server_megakernel_slot_reuse(fused_env, monkeypatch, tmp_path):
+    """More requests than slots: retirement parks a lane (clamped row
+    writes) and re-admission reuses it — streams must still match the
+    per-op path (validates the parked-lane garbage-row reasoning)."""
+    from llm_inference_tpu.serving import BatchedServer
+
+    vocab = [f"t{i}" for i in range(256)]
+    vocab[1] = "<eos>"
+    vocab[2] = "<bos>"
+    vocab[3] = "<unk>"
+    buf = build_gemma3_gguf(
+        n_layers=2, n_embd=256, n_ff=512, n_head=4, n_head_kv=2,
+        head_dim=128, vocab=vocab, with_post_norms=True,
+    )
+    path = tmp_path / "m.gguf"
+    path.write_bytes(buf)
+    # 5 requests through 2 slots with mismatched lengths: lanes park and
+    # re-admit repeatedly across chunks
+    reqs = [([2, 7, 8], 9), ([2, 9], 3), ([2, 5, 6], 6), ([2, 11], 8),
+            ([2, 4, 13, 7], 5)]
+
+    monkeypatch.setenv("LLMI_NO_FUSED_DECODE", "1")
+    ref = BatchedServer(str(path), max_seq=S, max_batch=2, mode="serve-q8",
+                        decode_chunk=3)
+    want = ref.run(reqs)
+
+    monkeypatch.delenv("LLMI_NO_FUSED_DECODE")
+    srv = BatchedServer(str(path), max_seq=S, max_batch=2, mode="serve-q8",
+                        decode_chunk=3)
+    assert srv._mega_batch
+    got = srv.run(reqs)
+    assert got == want
+
+
 def test_batch_eligibility_bounds():
     hp, w = _model()
     w_stacked = dataclasses.replace(w, layers=stack_layers(w.layers))
