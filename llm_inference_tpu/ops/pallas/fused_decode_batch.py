@@ -56,9 +56,28 @@ from .fused_decode import (
 )
 
 
+def _kv_slots(hp, *, batch, max_seq, layer_bytes, tn, D, F, Rq) -> int:
+    """2 = cache slabs double-buffered by layer parity (copies ride the
+    weight prefetch); 1 = single slab, next layer's copy issued right
+    after attention so it hides under the FFN weight stream (halves the
+    cache VMEM — what lets batch-32 / 4k-context configs in); 0 = no fit."""
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    fixed = 2 * layer_bytes
+    fixed += 2 * tn * D + 2 * 1 * tn * 4  # logits weight tiles + scales
+    fixed += 2 * batch * tn * 4  # lo_b: double-buffered [B, TN] f32 out
+    fixed += 2 * (Rq + 2 * D + 2 * F) * 4  # per-part f32 row-scale slots
+    fixed += batch * (32 * D + 128 * 4 + 6 * D)  # emb windows + x/h bufs
+    kv_one = batch * max_seq * hp.n_head_kv * (dk + dv) * 2
+    for slots in (2, 1):
+        if fixed + slots * kv_one <= _BUFFER_BUDGET:
+            return slots
+    return 0
+
+
 def megakernel_batch_supported(hp, w, *, batch, max_seq) -> bool:
     """Eligibility: the single-stream whole-layer contract PLUS the
-    double-buffered [B, S, Hkv*(dk+dv)] bf16 cache slabs in VMEM."""
+    [B, S, Hkv*(dk+dv)] bf16 cache slabs (double- or single-buffered,
+    _kv_slots) in VMEM."""
     from ...models.weights import LayerWeights
 
     lw = w.layers
@@ -89,18 +108,13 @@ def megakernel_batch_supported(hp, w, *, batch, max_seq) -> bool:
     if max_seq % 16:
         return False
     layer_bytes = Rq * D + D * Adim + 2 * F * D + D * F
-    kv_bytes = 2 * batch * max_seq * hp.n_head_kv * (dk + dv) * 2
     tn = V if V <= _LOGITS_TILE else _LOGITS_TILE
-    need = 2 * layer_bytes + kv_bytes
-    need += 2 * tn * D + 2 * 1 * tn * 4  # logits weight tiles + scales
-    need += 2 * batch * tn * 4  # lo_b: double-buffered [B, TN] f32 out
-    need += 2 * (Rq + 2 * D + 2 * F) * 4  # per-part f32 row-scale slots
-    need += batch * (32 * D + 128 * 4 + 6 * D)  # emb windows + x/h bufs
-    return need <= _BUFFER_BUDGET
+    return _kv_slots(hp, batch=batch, max_seq=max_seq,
+                     layer_bytes=layer_bytes, tn=tn, D=D, F=F, Rq=Rq) > 0
 
 
 def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
-                 eps, attn_scale, softcap, has_pa, has_pf):
+                 eps, attn_scale, softcap, has_pa, has_pf, kv_slots):
     group = H // Hkv
     nt = V // TN
 
@@ -123,10 +137,10 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
         logits_out, kc_out, vc_out = nxt(), nxt(), nxt()
         (wqkv_b, wqkv_sb, wo_b, wo_sb, gu_b, gu_sb, wd_b, wd_sb,
          kb, vb, emb_b, emb_sb, lw_b, lw_sb, lo_b, x_s, h_s) = [nxt() for _ in range(17)]
-        wsem, wbsem, lsem, osem, esem = [nxt() for _ in range(5)]
+        wsem, kvsem, wbsem, lsem, osem, esem = [nxt() for _ in range(6)]
 
         def layer_copies(l, b):
-            cs = [
+            return [
                 pltpu.make_async_copy(wqkv_q.at[l], wqkv_b.at[b], wsem.at[b, 0]),
                 pltpu.make_async_copy(wqkv_s.at[l], wqkv_sb.at[b], wsem.at[b, 1]),
                 pltpu.make_async_copy(wo_q.at[l], wo_b.at[b], wsem.at[b, 2]),
@@ -135,10 +149,13 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 pltpu.make_async_copy(gu_s.at[l], gu_sb.at[b], wsem.at[b, 5]),
                 pltpu.make_async_copy(wd_q.at[l], wd_b.at[b], wsem.at[b, 6]),
                 pltpu.make_async_copy(wd_s.at[l], wd_sb.at[b], wsem.at[b, 7]),
-                pltpu.make_async_copy(kc.at[l], kb.at[b], wsem.at[b, 8]),
-                pltpu.make_async_copy(vc.at[l], vb.at[b], wsem.at[b, 9]),
             ]
-            return cs
+
+        def kv_copies(l, s_):
+            return [
+                pltpu.make_async_copy(kc.at[l], kb.at[s_], kvsem.at[s_, 0]),
+                pltpu.make_async_copy(vc.at[l], vb.at[s_], kvsem.at[s_, 1]),
+            ]
 
         # B embedding row windows (int8 HBM is (32, 128)-tiled) + the
         # lane-major scale windows, one DMA pair per lane
@@ -159,6 +176,8 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             e1.start()
         for c in layer_copies(0, 0):
             c.start()
+        for c in kv_copies(0, 0):
+            c.start()
         for bi_ in range(B):
             e0, e1 = ecopies[bi_]
             e0.wait()
@@ -175,11 +194,16 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 
         def body(l, carry):
             b = jax.lax.rem(l, 2)
+            skv = b if kv_slots == 2 else 0
 
             @pl.when(l + 1 < L)
             def _():
                 for c in layer_copies(l + 1, 1 - b):
                     c.start()
+                if kv_slots == 2:
+                    # cache copies ride the weight prefetch (parity slots)
+                    for c in kv_copies(l + 1, 1 - b):
+                        c.start()
 
             for c in layer_copies(l, b):
                 c.wait()
@@ -187,6 +211,12 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             x = x_s[:]  # [B, D] f32
             h = (_rms(x, eps) * an_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
             qkv = _mixed_dot(h, wqkv_b[b]) * wqkv_sb[b]  # [B, Rq]
+
+            # single-slab mode: layer l's cache copy was issued after the
+            # PREVIOUS layer's attention (prologue for l=0) — wait here,
+            # as late as the lane loop allows
+            for c in kv_copies(l, skv):
+                c.wait()
 
             bi = base_idx_r[l]
             attn_rows = []
@@ -209,17 +239,17 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 # then DMA the aligned 16-row window back to HBM
                 p0 = pl.multiple_of((p // 16) * 16, 16)
                 rsel = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) == p - p0
-                kwin = kb[b, bl, pl.ds(p0, 16), :]
-                vwin = vb[b, bl, pl.ds(p0, 16), :]
-                kb[b, bl, pl.ds(p0, 16), :] = jnp.where(
+                kwin = kb[skv, bl, pl.ds(p0, 16), :]
+                vwin = vb[skv, bl, pl.ds(p0, 16), :]
+                kb[skv, bl, pl.ds(p0, 16), :] = jnp.where(
                     rsel, kbv.reshape(1, Hkv * dk), kwin)
-                vb[b, bl, pl.ds(p0, 16), :] = jnp.where(
+                vb[skv, bl, pl.ds(p0, 16), :] = jnp.where(
                     rsel, vbv.reshape(1, Hkv * dv), vwin)
                 wk = pltpu.make_async_copy(
-                    kb.at[b, bl, pl.ds(p0, 16), :],
+                    kb.at[skv, bl, pl.ds(p0, 16), :],
                     kc_out.at[l, bl, pl.ds(p0, 16), :], wbsem.at[0])
                 wv = pltpu.make_async_copy(
-                    vb.at[b, bl, pl.ds(p0, 16), :],
+                    vb.at[skv, bl, pl.ds(p0, 16), :],
                     vc_out.at[l, bl, pl.ds(p0, 16), :], wbsem.at[1])
                 wk.start()
                 wv.start()
@@ -231,7 +261,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 outs = []
                 for i in range(Hkv):
                     qi = qb[i * group : (i + 1) * group, :]
-                    ki = kb[b, bl][:, i * dk : (i + 1) * dk]
+                    ki = kb[skv, bl][:, i * dk : (i + 1) * dk]
                     s = jax.lax.dot_general(
                         qi, ki,
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -243,7 +273,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                     m = jnp.max(s, axis=1, keepdims=True)
                     pr = jnp.where(valid, jnp.exp(s - m), 0.0)
                     denom = jnp.sum(pr, axis=1, keepdims=True)
-                    vi = vb[b, bl][:, i * dv : (i + 1) * dv]
+                    vi = vb[skv, bl][:, i * dv : (i + 1) * dv]
                     pv = jax.lax.dot_general(
                         pr.astype(jnp.bfloat16), vi,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -255,6 +285,15 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             attn_flat = (attn_rows[0] if B == 1
                          else jnp.concatenate(attn_rows, axis=0))
             attn_flat = attn_flat.astype(jnp.bfloat16)  # [B, H*dv]
+
+            if kv_slots == 1:
+                # attention (and the row writebacks) are done with the
+                # slab; the next layer's cache copy hides under the FFN
+                # weight stream
+                @pl.when(l + 1 < L)
+                def _():
+                    for c in kv_copies(l + 1, 0):
+                        c.start()
 
             y = _mixed_dot(attn_flat, wo_b[b]) * wo_sb[b]
             if has_pa:
@@ -364,10 +403,17 @@ def _run_step(
     kc_idx = len(args) - 2
     vc_idx = len(args) - 1
 
+    layer_bytes = Rq * D + D * Adim + 2 * F * D + D * F
+    kv_slots = _kv_slots(
+        type("hp", (), dict(n_embd_head_k=dk, n_embd_head_v=dv,
+                            n_head_kv=Hkv))(),
+        batch=B, max_seq=S, layer_bytes=layer_bytes, tn=TN, D=D, F=F, Rq=Rq)
+    if kv_slots == 0:
+        raise ValueError("batched megakernel: cache slabs don't fit VMEM")
     kernel = _make_kernel(
         B=B, L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim,
         V=V, S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
-        has_pa=has_pa, has_pf=has_pf,
+        has_pa=has_pa, has_pf=has_pf, kv_slots=kv_slots,
     )
     return pl.pallas_call(
         kernel,
@@ -388,8 +434,8 @@ def _run_step(
             pltpu.VMEM((2, 1, 2 * F), jnp.float32),
             pltpu.VMEM((2, D, F), jnp.int8),
             pltpu.VMEM((2, 1, D), jnp.float32),
-            pltpu.VMEM((2, B, S, Hkv * dk), kc.dtype),
-            pltpu.VMEM((2, B, S, Hkv * dv), vc.dtype),
+            pltpu.VMEM((kv_slots, B, S, Hkv * dk), kc.dtype),
+            pltpu.VMEM((kv_slots, B, S, Hkv * dv), vc.dtype),
             pltpu.VMEM((B, 32, D), jnp.int8),
             pltpu.VMEM((B, 1, 128), jnp.float32),
             pltpu.VMEM((2, TN, D), jnp.int8),
@@ -397,7 +443,8 @@ def _run_step(
             pltpu.VMEM((2, B, TN), jnp.float32),
             pltpu.VMEM((B, D), jnp.float32),
             pltpu.VMEM((B, D), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 10)),
+            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA((kv_slots, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -105,6 +105,44 @@ def test_batched_megakernel_matches_batched_xla(fused_env):
             err_msg=f"lane {b}")
 
 
+def test_batched_megakernel_single_kv_slab(fused_env, monkeypatch):
+    """When only ONE cache slab fits VMEM (the batch-32 / 4k-context
+    regime), the kernel single-buffers it — next layer's copy issued
+    after attention — with identical results."""
+    import llm_inference_tpu.ops.pallas.fused_decode_batch as fdb
+
+    hp, w = _model()
+    w_stacked = dataclasses.replace(w, layers=stack_layers(w.layers))
+    # budget between fixed+1*kv and fixed+2*kv at these shapes -> slots=1
+    D, F, Rq = 256, 512, 1024
+    layer_bytes = Rq * D + D * 512 + 2 * F * D + D * F
+    kv_one = 3 * S * hp.n_head_kv * 256 * 2
+    budget = None
+    fixed_probe = fdb._kv_slots(hp, batch=3, max_seq=S,
+                                layer_bytes=layer_bytes, tn=256,
+                                D=D, F=F, Rq=Rq)
+    assert fixed_probe == 2  # sanity: default budget double-buffers
+    monkeypatch.setattr(fdb, "_BUFFER_BUDGET",
+                        2 * layer_bytes + 450_000)
+    assert fdb._kv_slots(hp, batch=3, max_seq=S, layer_bytes=layer_bytes,
+                         tn=256, D=D, F=F, Rq=Rq) == 1
+
+    prompts = [[2, 7, 8], [2, 9], [2, 5, 6, 7, 11]]
+    cache_ref, pos = _prefill_lanes(hp, w, prompts)
+    cache_fus = KVCache(k=jnp.stack(cache_ref.k), v=jnp.stack(cache_ref.v))
+    fwd_ref = jax.jit(partial(forward_batched_decode, hp))
+    toks = jnp.asarray([9, 12, 14], jnp.int32)
+    p = jnp.asarray(pos, jnp.int32)
+    l_ref, _ = fwd_ref(w, cache_ref, toks, p)
+    l_fus, _, _ = decode_step_megakernel_batch(
+        hp, w_stacked, cache_fus, toks, p, interpret=True)
+    l_ref, l_fus = np.asarray(l_ref), np.asarray(l_fus)
+    for b in range(3):
+        scale = max(1.0, np.abs(l_ref[b]).max())
+        np.testing.assert_allclose(l_fus[b], l_ref[b], atol=1.5e-2 * scale)
+        assert l_ref[b].argmax() == l_fus[b].argmax()
+
+
 def test_batched_megakernel_parked_lane(fused_env):
     """A parked lane (pos >= S) must not disturb live lanes, and its
     clamped row write stays in bounds."""
