@@ -114,7 +114,8 @@ def megakernel_batch_supported(hp, w, *, batch, max_seq) -> bool:
 
 
 def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
-                 eps, attn_scale, softcap, has_pa, has_pf, kv_slots):
+                 eps, attn_scale, softcap, has_pa, has_pf, kv_slots,
+                 greedy):
     group = H // Hkv
     nt = V // TN
 
@@ -137,6 +138,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
         logits_out, kc_out, vc_out = nxt(), nxt(), nxt()
         (wqkv_b, wqkv_sb, wo_b, wo_sb, gu_b, gu_sb, wd_b, wd_sb,
          kb, vb, emb_b, emb_sb, lw_b, lw_sb, lo_b, x_s, h_s) = [nxt() for _ in range(17)]
+        best_v, best_i = (nxt(), nxt()) if greedy else (None, None)
         wsem, kvsem, wbsem, lsem, osem, esem = [nxt() for _ in range(6)]
 
         def layer_copies(l, b):
@@ -336,28 +338,59 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
         for c in lcopies(0, 0):
             c.start()
 
-        def lbody(t, carry):
-            s_ = jax.lax.rem(t, 2)
+        if greedy:
+            # greedy argmax IN KERNEL: no [B, V] logits round-trip. The
+            # final softcap is monotone, so argmax commutes with it; ties
+            # resolve to the lowest id (jnp.argmax semantics).
+            best_v[:] = jnp.full((B, 1), -jnp.inf, dtype=jnp.float32)
+            best_i[:] = jnp.zeros((B, 1), dtype=jnp.int32)
 
-            @pl.when(t + 1 < nt)
-            def _():
-                for c in lcopies(t + 1, 1 - s_):
-                    c.start()
+            def lbody(t, carry):
+                s_ = jax.lax.rem(t, 2)
 
-            for c in lcopies(t, s_):
-                c.wait()
+                @pl.when(t + 1 < nt)
+                def _():
+                    for c in lcopies(t + 1, 1 - s_):
+                        c.start()
 
-            @pl.when(t >= 2)
-            def _():
-                ocopy(t - 2, s_).wait()
+                for c in lcopies(t, s_):
+                    c.wait()
 
-            lo_b[s_] = _mixed_dot(h_s[:], lw_b[s_]) * lw_sb[s_]
-            ocopy(t, s_).start()
-            return carry
+                vals = _mixed_dot(h_s[:], lw_b[s_]) * lw_sb[s_]  # [B, TN]
+                m = jnp.max(vals, axis=1, keepdims=True)
+                ii = jax.lax.broadcasted_iota(jnp.int32, (B, TN), 1) + t * TN
+                idx = jnp.min(jnp.where(vals == m, ii, V),
+                              axis=1, keepdims=True)
+                upd = m > best_v[:]
+                best_i[:] = jnp.where(upd, idx, best_i[:])
+                best_v[:] = jnp.where(upd, m, best_v[:])
+                return carry
 
-        jax.lax.fori_loop(0, nt, lbody, 0)
-        for t in range(max(0, nt - 2), nt):
-            ocopy(t, t % 2).wait()
+            jax.lax.fori_loop(0, nt, lbody, 0)
+            logits_out[:] = best_i[:]
+        else:
+            def lbody(t, carry):
+                s_ = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < nt)
+                def _():
+                    for c in lcopies(t + 1, 1 - s_):
+                        c.start()
+
+                for c in lcopies(t, s_):
+                    c.wait()
+
+                @pl.when(t >= 2)
+                def _():
+                    ocopy(t - 2, s_).wait()
+
+                lo_b[s_] = _mixed_dot(h_s[:], lw_b[s_]) * lw_sb[s_]
+                ocopy(t, s_).start()
+                return carry
+
+            jax.lax.fori_loop(0, nt, lbody, 0)
+            for t in range(max(0, nt - 2), nt):
+                ocopy(t, t % 2).wait()
 
     return kernel
 
@@ -365,13 +398,13 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
-                     "has_pa", "has_pf", "interpret"),
+                     "has_pa", "has_pf", "greedy", "interpret"),
 )
 def _run_step(
     tokens, pos, base_idx, cos, sin, an, fn_, qn, kn, on, pan, pfn,
     wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s, emb_q, emb_s, kc, vc,
     *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
-    interpret=False,
+    greedy=False, interpret=False,
 ):
     B = tokens.shape[0]
     L, Rq, D = wqkv_q.shape
@@ -413,14 +446,15 @@ def _run_step(
     kernel = _make_kernel(
         B=B, L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim,
         V=V, S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
-        has_pa=has_pa, has_pf=has_pf, kv_slots=kv_slots,
+        has_pa=has_pa, has_pf=has_pf, kv_slots=kv_slots, greedy=greedy,
     )
     return pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=(anym, anym, anym),
+        out_specs=(vmem if greedy else anym, anym, anym),
         out_shape=(
-            jax.ShapeDtypeStruct((B, V), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1) if greedy else (B, V),
+                                 jnp.int32 if greedy else jnp.float32),
             jax.ShapeDtypeStruct(kc.shape, kc.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ),
@@ -443,6 +477,10 @@ def _run_step(
             pltpu.VMEM((2, B, TN), jnp.float32),
             pltpu.VMEM((B, D), jnp.float32),
             pltpu.VMEM((B, D), jnp.bfloat16),
+        ] + ([
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.int32),
+        ] if greedy else []) + [
             pltpu.SemaphoreType.DMA((2, 8)),
             pltpu.SemaphoreType.DMA((kv_slots, 2)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -463,12 +501,18 @@ def _run_step(
     )(*args)
 
 
-def decode_step_megakernel_batch(hp, w, cache, tokens, pos, *, interpret=False):
+def decode_step_megakernel_batch(hp, w, cache, tokens, pos, *,
+                                 greedy=False, interpret=False):
     """One batched decode step as one Pallas call. ``w.layers`` must be
     the stacked LayerWeights (rowq8); ``cache`` the stacked BATCHED KV
     cache ([L, B, S, Hkv, d]). ``pos`` may hold >= S for parked lanes
-    (clamped; see module docstring). Returns (logits [B, vocab] f32 —
-    softcap applied by the caller, new cache arrays)."""
+    (clamped; see module docstring).
+
+    Returns (out, new k, new v): ``out`` is the [B, vocab] f32 logits
+    (softcap applied by the caller) — or, with ``greedy=True``, the [B]
+    int32 argmax tokens computed IN KERNEL, skipping the [B, vocab] HBM
+    round-trip entirely (the final softcap is monotone, so greedy
+    streams are unchanged)."""
     lw = w.layers
     L = lw.wqkv.q.shape[0]
     B = tokens.shape[0]
@@ -484,7 +528,7 @@ def decode_step_megakernel_batch(hp, w, cache, tokens, pos, *, interpret=False):
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None
     has_pf = lw.post_ffw_norm is not None
-    logits, kc, vc = _run_step(
+    out, kc, vc = _run_step(
         jnp.asarray(tokens, dtype=jnp.int32),
         pos,
         base_idx, cos, sin,
@@ -503,6 +547,8 @@ def decode_step_megakernel_batch(hp, w, cache, tokens, pos, *, interpret=False):
         eps=hp.rms_eps, attn_scale=hp.f_attention_scale,
         softcap=hp.attn_soft_cap or 0.0,
         H=hp.n_head, Hkv=hp.n_head_kv, dk=dk, dv=dv,
-        has_pa=has_pa, has_pf=has_pf, interpret=interpret,
+        has_pa=has_pa, has_pf=has_pf, greedy=greedy, interpret=interpret,
     )
-    return logits, kc.reshape(cache.k.shape), vc.reshape(cache.v.shape)
+    if greedy:
+        out = out.reshape(B)
+    return out, kc.reshape(cache.k.shape), vc.reshape(cache.v.shape)

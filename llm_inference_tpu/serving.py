@@ -232,10 +232,11 @@ class BatchedServer:
 
                 def body(carry, _):
                     ck, cv, toks, p = carry
-                    logits, ck, cv = decode_step_megakernel_batch(
-                        hp, w, _KV(k=ck, v=cv), toks, p, interpret=interp)
-                    logits = _softcap(logits, hp.final_logit_softcap)
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    # greedy=True: the argmax happens IN the kernel — no
+                    # [B, vocab] logits round-trip (softcap is monotone)
+                    nxt, ck, cv = decode_step_megakernel_batch(
+                        hp, w, _KV(k=ck, v=cv), toks, p,
+                        greedy=True, interpret=interp)
                     return (ck, cv, nxt, p + 1), nxt
 
                 (ck, cv, _, _), toks = jax.lax.scan(

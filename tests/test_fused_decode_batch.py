@@ -143,6 +143,28 @@ def test_batched_megakernel_single_kv_slab(fused_env, monkeypatch):
         assert l_ref[b].argmax() == l_fus[b].argmax()
 
 
+def test_batched_megakernel_greedy_in_kernel(fused_env):
+    """greedy=True returns the same tokens as argmax over the full
+    logits output (tie-break: lowest id, jnp.argmax semantics)."""
+    hp, w = _model()
+    w_stacked = dataclasses.replace(w, layers=stack_layers(w.layers))
+    prompts = [[2, 7, 8], [2, 9], [2, 5, 6, 7, 11]]
+    cache_ref, pos = _prefill_lanes(hp, w, prompts)
+    cache = KVCache(k=jnp.stack(cache_ref.k), v=jnp.stack(cache_ref.v))
+    toks = jnp.asarray([9, 12, 14], jnp.int32)
+    p = jnp.asarray(pos, jnp.int32)
+    logits, _, _ = decode_step_megakernel_batch(
+        hp, w_stacked, cache, toks, p, interpret=True)
+    tokens, kc, vc = decode_step_megakernel_batch(
+        hp, w_stacked, cache, toks, p, greedy=True, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(tokens), np.asarray(logits).argmax(axis=1))
+    # cache writes identical in both modes
+    np.testing.assert_array_equal(np.asarray(kc), np.asarray(
+        decode_step_megakernel_batch(hp, w_stacked, cache, toks, p,
+                                     interpret=True)[1]))
+
+
 def test_batched_megakernel_parked_lane(fused_env):
     """A parked lane (pos >= S) must not disturb live lanes, and its
     clamped row write stays in bounds."""

@@ -67,6 +67,9 @@ def test_batched_megakernel_lowers(monkeypatch, kv_slots):
     pos = jnp.asarray([3, 2, 5], jnp.int32)
     _lower_tpu(lambda w_, c_, t_, p_: fdb.decode_step_megakernel_batch(
         hp, w_, c_, t_, p_), ws, cache, toks, pos)
+    # in-kernel greedy argmax variant lowers too
+    _lower_tpu(lambda w_, c_, t_, p_: fdb.decode_step_megakernel_batch(
+        hp, w_, c_, t_, p_, greedy=True), ws, cache, toks, pos)
 
 
 def _q4_struct(rows, cols):
