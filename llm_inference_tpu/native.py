@@ -76,6 +76,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.dequant_bf16.argtypes = [u8p, ctypes.c_int, i64, i64, u16p]
     lib.encode_q4_0.argtypes = [f32p, i64, i64, u8p]
     lib.encode_f16.argtypes = [f32p, i64, u16p]
+    lib.transpose_i8.argtypes = [i8p, i64, i64, i8p]
     _lib = lib
     return _lib
 
@@ -137,3 +138,17 @@ def encode_f16(w: np.ndarray) -> Optional[np.ndarray]:
     out = np.empty(flat.size, dtype=np.uint16)
     lib.encode_f16(_ptr(flat, ctypes.c_float), flat.size, _ptr(out, ctypes.c_uint16))
     return out.view(np.uint8)
+
+
+def transpose_i8(a: np.ndarray) -> Optional[np.ndarray]:
+    """Cache-blocked native transpose of a contiguous int8 [R, C] matrix
+    -> contiguous [C, R]; None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None or a.dtype != np.int8 or a.ndim != 2:
+        return None
+    a = np.ascontiguousarray(a)
+    rows, cols = a.shape
+    out = np.empty((cols, rows), dtype=np.int8)
+    lib.transpose_i8(_ptr(a, ctypes.c_int8), rows, cols,
+                     _ptr(out, ctypes.c_int8))
+    return out

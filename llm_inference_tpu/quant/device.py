@@ -703,7 +703,11 @@ def maskdot_host_parts(
         return None
     bg, bc, nblk, mp = geom
     q = np.asarray(q).reshape(rows, cols)  # logical column order
-    qT = np.ascontiguousarray(q.T)  # [C, R] int8
+    from .. import native as _native
+
+    qT = _native.transpose_i8(q)  # cache-blocked C++ (3x numpy strided)
+    if qT is None:
+        qT = np.ascontiguousarray(q.T)  # [C, R] int8
 
     def pad_t(s: np.ndarray) -> np.ndarray:
         # [R, G] -> [G, R] -> [nblk, bg, R] zero-padded to mp -> [nblk*mp, R]

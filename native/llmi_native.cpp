@@ -396,4 +396,22 @@ void encode_f16(const float* w, int64_t n, uint16_t* out) {
   for (int64_t i = 0; i < n; ++i) out[i] = f32_to_f16(w[i]);
 }
 
+// Cache-blocked int8 transpose: dst[c, r] = src[r, c]. The capacity
+// loader's hot copy — numpy's strided int8 transpose runs ~1 GB/s
+// scalar; 128x128 tiles keep both streams in L1/L2.
+void transpose_i8(const int8_t* src, int64_t rows, int64_t cols,
+                  int8_t* dst) {
+  constexpr int64_t T = 128;
+  for (int64_t r0 = 0; r0 < rows; r0 += T) {
+    const int64_t r1 = r0 + T < rows ? r0 + T : rows;
+    for (int64_t c0 = 0; c0 < cols; c0 += T) {
+      const int64_t c1 = c0 + T < cols ? c0 + T : cols;
+      for (int64_t r = r0; r < r1; ++r) {
+        const int8_t* s = src + r * cols;
+        for (int64_t c = c0; c < c1; ++c) dst[c * rows + r] = s[c];
+      }
+    }
+  }
+}
+
 }  // extern "C"

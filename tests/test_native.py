@@ -77,3 +77,17 @@ def test_encode_f16_subnormals(rng):
     assert got is not None
     want = w.astype(np.float16).view(np.uint16).ravel()
     np.testing.assert_array_equal(got.view(np.uint16).ravel(), want)
+
+
+def test_transpose_i8_matches_numpy():
+    """Cache-blocked native transpose (capacity-loader hot copy),
+    including ragged edge tiles."""
+    from llm_inference_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for shape in ((128, 256), (130, 257), (1, 5), (300, 128)):
+        a = rng.integers(-128, 128, size=shape, dtype=np.int8)
+        got = native.transpose_i8(a)
+        np.testing.assert_array_equal(got, np.ascontiguousarray(a.T))
