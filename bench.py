@@ -52,7 +52,34 @@ def build_checkpoint() -> None:
     tmp.rename(CACHE)
 
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Probe jax.devices() in a SUBPROCESS with a timeout: when the TPU
+    tunnel is down, backend init hangs forever — the bench must emit an
+    honest error line instead of hanging the driver."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def main() -> None:
+    if not _device_reachable():
+        print("device backend unreachable (TPU tunnel down?)", file=sys.stderr)
+        print(json.dumps({
+            "metric": "decode_tok_s_gemma3_1b_q4_0",
+            "value": 0,
+            "unit": "tok/s",
+            "vs_baseline": 0,
+            "error": "device backend unreachable (jax.devices() timed out)",
+        }))
+        return
+
     if not CACHE.exists():
         t0 = time.time()
         build_checkpoint()
