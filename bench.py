@@ -52,6 +52,30 @@ def build_checkpoint() -> None:
     tmp.rename(CACHE)
 
 
+# Same geometry with weight std 2e-2: contractive like a trained model, so
+# greedy streams stay pinned for 100+ tokens (the std-0.1 bench checkpoint
+# amplifies irreducible ~1e-7 float-ordering noise ~3x/layer — no pair of
+# bit-different engines holds a long stream on it; see PARITY_1B.md).
+TAME_CACHE = Path(
+    os.environ.get("LLMI_TAME_GGUF", "/tmp/llmi_parity_gemma3_1b_tame_q4_0.gguf")
+)
+
+
+def build_tame_checkpoint() -> Path:
+    if not TAME_CACHE.exists():
+        from fixtures import build_gemma3_gguf
+
+        vocab = [f"t{i}" for i in range(VOCAB_SIZE)]
+        vocab[1] = "<eos>"
+        vocab[2] = "<bos>"
+        vocab[3] = "<unk>"
+        buf = build_gemma3_gguf(vocab=vocab, seed=20260816, weight_std=0.02, **GEOM)
+        tmp = TAME_CACHE.with_suffix(".tmp")
+        tmp.write_bytes(buf)
+        tmp.rename(TAME_CACHE)
+    return TAME_CACHE
+
+
 def _device_reachable(timeout_s: int = 240) -> bool:
     """Probe jax.devices() in a SUBPROCESS with a timeout: when the TPU
     tunnel is down, backend init hangs forever — the bench must emit an

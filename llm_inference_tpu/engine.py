@@ -125,9 +125,7 @@ class Engine:
                 load_maskdot_stacked,
                 maskdot_layer_bytes_estimate,
             )
-            from .ops.pallas.fused_decode_q import (
-                _BUFFER_BUDGET as _Q_BUDGET,
-            )
+            from .ops.pallas.fused_decode_q import whole_layer_fits
 
             q4 = mode == "serve-q4"
             est = maskdot_layer_bytes_estimate(gguf, q4=q4)
@@ -135,20 +133,18 @@ class Engine:
             # kernel even when layers fit the whole-layer budget — lets
             # the streamed path be validated/profiled on small models.
             force = os.environ.get("LLMI_FORCE_CAPACITY", "0") == "1"
-            # mirror megakernel_q_supported's FULL bound (2x layer weights
-            # + the bf16 logits tiles + the embedding window), not just
-            # the layer term: a mid-size model in the gap band would
-            # otherwise get neither the whole-layer nor the streamed
-            # kernel and silently fall to the slow per-matmul path.
+            # apply megakernel_q_supported's FULL bound (via the shared
+            # whole_layer_fits helper), not just the layer term: a
+            # mid-size model in the gap band would otherwise get neither
+            # the whole-layer nor the streamed kernel and silently fall
+            # to the slow per-matmul path.
             from .models.hparams import load_hparams
             from .ops.pallas.fused_decode import _LOGITS_TILE
 
             hp_probe = load_hparams(gguf.metadata)
             D_probe = hp_probe.embedding_length
             V_probe = hp_probe.vocab_size or _LOGITS_TILE
-            tn = min(V_probe, _LOGITS_TILE)
-            logits_need = 2 * tn * D_probe * 2 + 16 * D_probe * 2
-            if est is not None and (2 * est + logits_need > _Q_BUDGET or force):
+            if est is not None and (not whole_layer_fits(est, D_probe, V_probe) or force):
                 # directory-only structural precheck: reject the capacity
                 # path BEFORE the multi-GB host repack + upload
                 from .ops.pallas.fused_decode_stream import (

@@ -61,6 +61,17 @@ LANE = 128
 _BUFFER_BUDGET = 110 * 1024 * 1024
 
 
+def whole_layer_fits(layer_bytes: int, D: int, V: int) -> bool:
+    """Single source of truth for the whole-layer VMEM budget: a
+    double-buffered layer set plus the double-buffered bf16 logits tiles
+    and the 16-row embedding gather window. Used by
+    ``megakernel_q_supported`` and by the engine's capacity-path gap-band
+    precheck (engine.py) so the two can never diverge."""
+    TN = V if V <= _LOGITS_TILE else _LOGITS_TILE
+    need = 2 * layer_bytes + 2 * TN * D * 2 + 16 * D * 2
+    return need <= _BUFFER_BUDGET
+
+
 def _convertible(p) -> bool:
     """A layer projection the masked-dot kernel can consume — already in
     the transposed layout, or a group-scaled planar tensor a load-time
@@ -133,14 +144,12 @@ def megakernel_q_supported(hp, w) -> bool:
     for p in parts:
         if maskdot_block_geom(p.cols, p.group_size) is None:
             return False
-    TN = V if V <= _LOGITS_TILE else _LOGITS_TILE
     layer_bytes = 0
     for p in parts:
         layer_bytes += _weight_bytes(p)  # int8 / packed nibbles
         nsc = 2 if _has_off(p) else 1
         layer_bytes += nsc * _scale_rows(p) * p.rows * 4
-    need = 2 * layer_bytes + 2 * TN * D * 2 + 16 * D * 2
-    return need <= _BUFFER_BUDGET
+    return whole_layer_fits(layer_bytes, D, V)
 
 
 def _qdot(qref, sref, offref, bsel, x_bf, *, gs, geom, packed=False,

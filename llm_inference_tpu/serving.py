@@ -311,8 +311,48 @@ class BatchedServer:
                 return (jnp.argmax(logits).astype(jnp.int32),
                         _KV(k=tuple(nk), v=tuple(nv)))
 
+            def _prefill_paged_group(w, pools, pages, tokens, n_valids):
+                # grouped admission, paged flavor: ONE vmapped bucket
+                # prefill for the whole group (G x bucket rows per weight
+                # stream, exactly like the dense _prefill_group), then a
+                # single vectorized scatter of each lane's scratch rows
+                # into its pages. ``pages`` is [G, nbk]; padding entries
+                # (unallocated tail pages, padded group members) hold
+                # kv_pages — out of bounds, so their writes drop. Page rows
+                # past n_valid are written but never read before decode
+                # overwrites them (causal mask).
+                G, bucket = tokens.shape
+                nbk = pages.shape[1]
+
+                def one(toks, nv):
+                    scratch = init_cache(hp, max(bucket, 16), dtype=kv_dtype)
+                    logits, scratch = forward(hp, w, scratch, toks, 0, nv,
+                                              exact=False, mm_impl="xla")
+                    return jnp.argmax(logits).astype(jnp.int32), scratch
+
+                toks_out, scratch = jax.vmap(one)(tokens, n_valids)
+                pages_flat = pages.reshape(-1)
+                nk, nv = list(pools.k), list(pools.v)
+                for i in range(len(nk)):
+                    def scatter(pool, s):
+                        s = s[:, : nbk * PAGE]
+                        pad = nbk * PAGE - s.shape[1]
+                        if pad > 0:
+                            s = jnp.pad(s, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                        s = s.reshape(G * nbk, PAGE, *s.shape[2:])
+                        return pool.at[pages_flat].set(
+                            s.astype(pool.dtype), mode="drop")
+
+                    nk[i] = scatter(nk[i], scratch.k[i])
+                    nv[i] = scatter(nv[i], scratch.v[i])
+                from .models.gemma import KVCache as _KV
+
+                return toks_out, _KV(k=tuple(nk), v=tuple(nv))
+
             self._chunk_paged = jax.jit(_chunk_paged, donate_argnums=(1,))
             self._prefill_paged = jax.jit(_prefill_paged, donate_argnums=(1,))
+            self._prefill_paged_group = jax.jit(
+                _prefill_paged_group, donate_argnums=(1,))
         else:
             one = init_cache(hp, max_seq, stacked=self._stacked, dtype=kv_dtype)
             self._caches = jax.tree_util.tree_map(
@@ -342,6 +382,17 @@ class BatchedServer:
                 f"n_predict {n_predict} + chunk {self.decode_chunk}, prefill "
                 f"bucket {prefill_bucket(len(prompt_ids))}) but max_seq is {self.max_seq}"
             )
+        # Paged mode: the page pool is the real capacity bound. A request
+        # needing more pages than the pool HOLDS (not merely more than are
+        # currently free) can never be admitted — _admit() would stall at the
+        # queue head forever and starve everything behind it.
+        if self._paged:
+            need_pages = -(-need // PAGE)
+            if need_pages > self.kv_pages:
+                raise ValueError(
+                    f"request needs {need_pages} KV pages ({need} tokens at "
+                    f"{PAGE}/page) but the pool only has {self.kv_pages}"
+                )
         self._uid += 1
         req = Request(uid=self._uid, prompt_ids=list(prompt_ids),
                       n_predict=n_predict, on_token=on_token,
@@ -361,28 +412,76 @@ class BatchedServer:
         budget = len(self._free) if not self._active else self.max_admit_per_step
         if self._paged:
             while self._queue and self._free and budget > 0:
-                req = self._queue[0]
-                need_pages = -(-(len(req.prompt_ids) + req.n_predict
-                                 + self.decode_chunk) // PAGE)
-                if need_pages > len(self._free_pages):
-                    break  # pool exhausted: wait for retirements
-                self._queue.pop(0)
-                budget -= 1
-                slot = self._free.pop(0)
-                req.pages = [self._free_pages.pop(0) for _ in range(need_pages)]
-                self._table[slot, :] = self.kv_pages
-                self._table[slot, : need_pages] = req.pages
-                bucket = prefill_bucket(len(req.prompt_ids))
-                padded = np.zeros(bucket, dtype=np.int32)
-                padded[: len(req.prompt_ids)] = req.prompt_ids
+                bucket = prefill_bucket(len(self._queue[0].prompt_ids))
+                # form a same-bucket group bounded by free slots, the
+                # admission budget, AND the page pool: a queue head the
+                # pool can't satisfy yet stalls admission (fair FIFO —
+                # skipping ahead would starve long requests forever)
+                group: list[Request] = []
+                pages_left = len(self._free_pages)
+                while (self._queue and len(group) < len(self._free)
+                       and budget > 0
+                       and prefill_bucket(len(self._queue[0].prompt_ids)) == bucket):
+                    head = self._queue[0]
+                    need_pages = -(-(len(head.prompt_ids) + head.n_predict
+                                     + self.decode_chunk) // PAGE)
+                    if need_pages > pages_left:
+                        break  # pool exhausted: wait for retirements
+                    pages_left -= need_pages
+                    group.append(self._queue.pop(0))
+                    budget -= 1
+                if not group:
+                    return  # head blocked on the pool (or nothing queued)
                 nbk = -(-bucket // PAGE)
-                pages_arr = np.full(max(nbk, 1), self.kv_pages, dtype=np.int32)
-                pages_arr[: min(nbk, need_pages)] = req.pages[: nbk]
-                tok, self._caches = self._prefill_paged(
+                if len(group) == 1:
+                    req = group[0]
+                    need_pages = -(-(len(req.prompt_ids) + req.n_predict
+                                     + self.decode_chunk) // PAGE)
+                    slot = self._free.pop(0)
+                    req.pages = [self._free_pages.pop(0)
+                                 for _ in range(need_pages)]
+                    self._table[slot, :] = self.kv_pages
+                    self._table[slot, : need_pages] = req.pages
+                    padded = np.zeros(bucket, dtype=np.int32)
+                    padded[: len(req.prompt_ids)] = req.prompt_ids
+                    pages_arr = np.full(max(nbk, 1), self.kv_pages,
+                                        dtype=np.int32)
+                    pages_arr[: min(nbk, need_pages)] = req.pages[:nbk]
+                    tok, self._caches = self._prefill_paged(
+                        self.weights, self._caches, jnp.asarray(pages_arr),
+                        jnp.asarray(padded), jnp.int32(len(req.prompt_ids)),
+                    )
+                    self._activate(req, slot, int(tok))
+                    continue
+                # grouped paged prefill: ONE vmapped dispatch, padded to
+                # power-of-two group sizes so group shapes compile once
+                g = 1
+                while g < len(group):
+                    g *= 2
+                pages_arr = np.full((g, max(nbk, 1)), self.kv_pages,
+                                    dtype=np.int32)
+                tokens = np.zeros((g, bucket), dtype=np.int32)
+                n_valids = np.zeros(g, dtype=np.int32)
+                taken = []
+                for i, req in enumerate(group):
+                    need_pages = -(-(len(req.prompt_ids) + req.n_predict
+                                     + self.decode_chunk) // PAGE)
+                    slot = self._free.pop(0)
+                    taken.append(slot)
+                    req.pages = [self._free_pages.pop(0)
+                                 for _ in range(need_pages)]
+                    self._table[slot, :] = self.kv_pages
+                    self._table[slot, : need_pages] = req.pages
+                    pages_arr[i, : min(nbk, need_pages)] = req.pages[:nbk]
+                    tokens[i, : len(req.prompt_ids)] = req.prompt_ids
+                    n_valids[i] = len(req.prompt_ids)
+                toks, self._caches = self._prefill_paged_group(
                     self.weights, self._caches, jnp.asarray(pages_arr),
-                    jnp.asarray(padded), jnp.int32(len(req.prompt_ids)),
+                    jnp.asarray(tokens), jnp.asarray(n_valids),
                 )
-                self._activate(req, slot, int(tok))
+                toks = np.asarray(toks)
+                for i, req in enumerate(group):
+                    self._activate(req, taken[i], int(toks[i]))
             return
         while self._queue and self._free and budget > 0:
             bucket = prefill_bucket(len(self._queue[0].prompt_ids))

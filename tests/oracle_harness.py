@@ -25,28 +25,38 @@ REFERENCE_DIR = Path(os.environ.get("LLMI_REFERENCE_DIR", "/root/reference"))
 ORACLE_SRC = Path(__file__).parent / "oracle" / "oracle.cpp"
 _REF_SOURCES = ["gguf.cpp", "ops.cpp", "model.cpp"]
 
-_lib = None
-_load_error: str | None = None
+# ISA build flavors. "avx2" matches the reference's x86 production build
+# flags (reference BUILD:45-50) — its SIMD kernels, and therefore the
+# activation-quantization contract, are what parity tests exercise.
+# "scalar" compiles the reference's OWN scalar fallbacks (ops.cpp #else
+# branches) — the reference compiled for a different ISA. Comparing the two
+# (tools/oracle_divergence.py) quantifies the float-ordering noise floor
+# that NO bit-different engine pair can beat.
+_ISA_FLAGS = {
+    "avx2": ["-mavx2", "-mfma", "-mf16c"],
+    "scalar": ["-mno-avx2", "-mno-fma", "-mno-f16c"],
+}
+
+_libs: dict[str, ctypes.CDLL] = {}
+_load_errors: dict[str, str] = {}
 
 
-def _cache_path() -> Path:
+def _cache_path(isa: str) -> Path:
     h = hashlib.sha256()
     for src in [ORACLE_SRC] + [REFERENCE_DIR / s for s in _REF_SOURCES]:
         h.update(str(src).encode())
         h.update(str(src.stat().st_mtime_ns).encode())
-    return Path("/tmp") / f"llmi_oracle_{h.hexdigest()[:16]}.so"
+    h.update(isa.encode())
+    return Path("/tmp") / f"llmi_oracle_{isa}_{h.hexdigest()[:16]}.so"
 
 
-def _build() -> Path:
-    so = _cache_path()
+def _build(isa: str) -> Path:
+    so = _cache_path(isa)
     if so.exists():
         return so
     cmd = [
         "g++", "-shared", "-fPIC", "-O2", "-std=c++17",
-        # Match the reference's x86 production build flags (reference
-        # BUILD:45-50) so its SIMD kernels — and therefore the activation-
-        # quantization contract — are what the oracle exercises.
-        "-mavx2", "-mfma", "-mf16c",
+        *_ISA_FLAGS[isa],
         str(ORACLE_SRC),
         *[str(REFERENCE_DIR / s) for s in _REF_SOURCES],
         f"-I{REFERENCE_DIR}",
@@ -56,23 +66,22 @@ def _build() -> Path:
     return so
 
 
-def get_oracle() -> ctypes.CDLL:
+def get_oracle(isa: str = "avx2") -> ctypes.CDLL:
     """Return the loaded oracle library, raising RuntimeError if unavailable."""
-    global _lib, _load_error
-    if _lib is not None:
-        return _lib
-    if _load_error is not None:
-        raise RuntimeError(_load_error)
+    if isa in _libs:
+        return _libs[isa]
+    if isa in _load_errors:
+        raise RuntimeError(_load_errors[isa])
     if not REFERENCE_DIR.exists():
-        _load_error = f"reference checkout not found at {REFERENCE_DIR}"
-        raise RuntimeError(_load_error)
+        _load_errors[isa] = f"reference checkout not found at {REFERENCE_DIR}"
+        raise RuntimeError(_load_errors[isa])
     try:
-        so = _build()
+        so = _build(isa)
         lib = ctypes.CDLL(str(so))
     except (subprocess.CalledProcessError, OSError) as e:
         detail = e.stderr if isinstance(e, subprocess.CalledProcessError) else str(e)
-        _load_error = f"oracle build failed: {detail}"
-        raise RuntimeError(_load_error) from e
+        _load_errors[isa] = f"oracle build failed: {detail}"
+        raise RuntimeError(_load_errors[isa]) from e
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
@@ -100,7 +109,7 @@ def get_oracle() -> ctypes.CDLL:
     lib.oracle_tokenize.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
                                     ctypes.POINTER(ctypes.c_int), ctypes.c_long]
     lib.oracle_init(1)
-    _lib = lib
+    _libs[isa] = lib
     return lib
 
 
@@ -151,8 +160,8 @@ class OracleGGUF:
 class OracleModel:
     """Reference-engine Model over a GGUF byte buffer (forward + tokenize)."""
 
-    def __init__(self, buf: bytes):
-        self._lib = get_oracle()
+    def __init__(self, buf: bytes, isa: str = "avx2"):
+        self._lib = get_oracle(isa)
         self._buf = np.frombuffer(buf, dtype=np.uint8)
         ptr = self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         self._handle = self._lib.oracle_model_new(ptr, len(buf))

@@ -1,11 +1,19 @@
-"""At-scale greedy parity (SURVEY.md §7.3 acceptance): the exact-contract
-engine must reproduce the reference binary's greedy stream token-for-token
-on the real Gemma-3-1B geometry.
+"""At-scale greedy parity (SURVEY.md §7.3 acceptance): the engine must
+reproduce the reference binary's greedy stream token-for-token on the real
+Gemma-3-1B geometry.
 
-Opt-in (LLMI_SLOW_TESTS=1): builds/loads the ~700 MB benchmark checkpoint
-and runs both engines for dozens of tokens — minutes, not CI-seconds.
-The full 100-token sweep across every serve mode is tools/greedy_parity.py
-(results recorded in PARITY_1B.md)."""
+Runs on the TAME checkpoint (weight std 2e-2): a contractive random stack,
+like a trained model, holds a pinned greedy stream for 100+ tokens. The
+std-0.1 bench checkpoint is expansive — it amplifies irreducible ~1e-7
+float-ordering noise ~3x/layer, so NO pair of bit-different engines (the
+reference vs itself at a different ISA included; see
+tools/oracle_divergence.py + PARITY_1B.md) can hold a long stream on it,
+which makes it useless as a parity acceptance target.
+
+Opt-in (LLMI_SLOW_TESTS=1): builds/loads the ~700 MB checkpoint and runs
+the oracle + three engine modes for 100 tokens each — minutes, not
+CI-seconds. The full five-mode sweep is tools/greedy_parity.py (results
+recorded in PARITY_1B.md)."""
 
 import os
 import sys
@@ -13,45 +21,65 @@ import sys
 import numpy as np
 import pytest
 
-import jax.numpy as jnp
-
 from oracle_harness import oracle_available
 
 pytestmark = [
+    pytest.mark.slow,
     pytest.mark.skipif(os.environ.get("LLMI_SLOW_TESTS", "0") != "1",
                        reason="slow: set LLMI_SLOW_TESTS=1"),
     pytest.mark.skipif(not oracle_available(), reason="reference oracle unavailable"),
 ]
 
-STEPS = 24
+STEPS = 100
+
+_golden = None
 
 
-def test_greedy_stream_parity_1b_geometry():
+def _golden_stream(prompt):
+    """Oracle greedy stream, computed once and shared across mode params."""
+    global _golden
+    if _golden is None:
+        import bench
+        from oracle_harness import OracleModel
+
+        buf = bench.build_tame_checkpoint().read_bytes()
+        ref = OracleModel(buf)
+        logits = ref.forward(prompt, 0, bench.VOCAB_SIZE)
+        out = []
+        pos = len(prompt)
+        for _ in range(STEPS):
+            nxt = int(logits.argmax())
+            out.append(nxt)
+            logits = ref.forward([nxt], pos, bench.VOCAB_SIZE)
+            pos += 1
+        ref.close()
+        _golden = out
+    return _golden
+
+
+@pytest.mark.parametrize("mode", ["parity", "serve-q8", "serve-q4"])
+def test_greedy_stream_parity_1b_geometry(mode):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import bench
     from llm_inference_tpu.engine import Engine
-    from oracle_harness import OracleModel
 
-    if not bench.CACHE.exists():
-        bench.build_checkpoint()
-    buf = bench.CACHE.read_bytes()
+    ckpt = bench.build_tame_checkpoint()
 
     rng = np.random.default_rng(0)
     prompt = [2] + rng.integers(10, 10000, size=bench.PREFILL_LEN - 1).tolist()
+    golden = _golden_stream(prompt)
 
-    ref = OracleModel(buf)
-    logits = ref.forward(prompt, 0, bench.VOCAB_SIZE)
-    golden = []
-    pos = len(prompt)
-    for _ in range(STEPS):
-        nxt = int(logits.argmax())
-        golden.append(nxt)
-        logits = ref.forward([nxt], pos, bench.VOCAB_SIZE)
-        pos += 1
-    ref.close()
-
-    eng = Engine(str(bench.CACHE), max_seq=256, mode="parity", decode_chunk=8)
+    eng = Engine(str(ckpt), max_seq=256, mode=mode, decode_chunk=16)
     eng.tokenizer.eos_id = -1
     eng.tokenizer.end_of_turn_id = -1
-    got = eng.generate_from_ids(prompt, n_predict=STEPS)
-    assert got == golden
+    got = eng.generate_from_ids(list(prompt), n_predict=STEPS)
+    matched = 0
+    for a, b in zip(got, golden):
+        if a != b:
+            break
+        matched += 1
+    assert matched == STEPS, (
+        f"{mode}: matched {matched}/{STEPS}, first divergence at step "
+        f"{matched}: ref {golden[matched]} vs "
+        f"{got[matched] if matched < len(got) else 'EOS'}"
+    )

@@ -145,3 +145,32 @@ def test_paged_rejects_parity_mode(model_buf):
     with pytest.raises(ValueError):
         BatchedServer(GGUFFile(model_buf), max_seq=256, max_batch=2,
                       mode="parity", kv_pages=4)
+
+
+def test_paged_grouped_admission_matches_serial(model_buf):
+    """Paged same-bucket requests admitted in one vmapped prefill dispatch
+    (grouped page scatter) must behave exactly like serial admission."""
+    reqs = [([2, 7, 8], 5), ([2, 10, 11], 5), ([2, 12], 5), ([2, 9, 4], 5)]
+    serial = BatchedServer(GGUFFile(model_buf), max_seq=256, max_batch=4,
+                           mode="serve", decode_chunk=4, kv_pages=8,
+                           max_admit_per_step=1)
+    want = serial.run(list(reqs))
+
+    grouped = BatchedServer(GGUFFile(model_buf), max_seq=256, max_batch=4,
+                            mode="serve", decode_chunk=4, kv_pages=8,
+                            max_admit_per_step=4)
+    got = grouped.run(list(reqs))
+    assert got == want
+    assert sorted(grouped._free_pages) == list(range(8))
+
+
+def test_paged_submit_rejects_unservable_request(model_buf):
+    """A request needing more pages than the pool HOLDS can never be
+    admitted — it must be rejected at submit, not livelock the queue
+    (round-2 advisor finding)."""
+    server = BatchedServer(GGUFFile(model_buf), max_seq=1024, max_batch=2,
+                           mode="serve", decode_chunk=4, kv_pages=1)
+    with pytest.raises(ValueError, match="pages"):
+        server.submit([2] * 8, n_predict=300)
+    # a pool-sized request is fine
+    server.submit([2] * 8, n_predict=100)

@@ -79,20 +79,9 @@ def main() -> int:
             bench.build_checkpoint()
         ckpt = Path(bench.CACHE)
     else:
-        ckpt = Path("/tmp/llmi_parity_gemma3_1b_tame_q4_0.gguf")
-        if not ckpt.exists():
-            from fixtures import build_gemma3_gguf
-
-            vocab = [f"t{i}" for i in range(bench.VOCAB_SIZE)]
-            vocab[1] = "<eos>"
-            vocab[2] = "<bos>"
-            vocab[3] = "<unk>"
-            t0 = time.time()
-            data = build_gemma3_gguf(vocab=vocab, seed=20260816,
-                                     weight_std=0.02, **bench.GEOM)
-            tmp = ckpt.with_suffix(".tmp")
-            tmp.write_bytes(data)
-            tmp.rename(ckpt)
+        t0 = time.time()
+        ckpt = bench.build_tame_checkpoint()
+        if time.time() - t0 > 1.0:
             print(f"built tame checkpoint in {time.time()-t0:.0f}s", file=sys.stderr)
     buf = ckpt.read_bytes()
 
