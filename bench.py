@@ -166,6 +166,11 @@ def main() -> None:
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+                # single-stream TTFT = prefill wall time to the first
+                # sampled token (post-warmup, compile excluded)
+                "ttft_ms": round(stats.prefill_seconds * 1e3, 2),
+                "prefill_tok_s": round(PREFILL_LEN / stats.prefill_seconds, 1)
+                if stats.prefill_seconds else None,
             }
         )
     )

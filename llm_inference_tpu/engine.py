@@ -141,9 +141,13 @@ class Engine:
             from .models.hparams import load_hparams
             from .ops.pallas.fused_decode import _LOGITS_TILE
 
+            from .models.gemma import swa_active
+
             hp_probe = load_hparams(gguf.metadata)
             D_probe = hp_probe.embedding_length
             V_probe = hp_probe.vocab_size or _LOGITS_TILE
+            if swa_active(hp_probe):
+                est = None  # megakernels keep the parity no-mask contract
             if est is not None and (not whole_layer_fits(est, D_probe, V_probe) or force):
                 # directory-only structural precheck: reject the capacity
                 # path BEFORE the multi-GB host repack + upload
@@ -180,10 +184,13 @@ class Engine:
         # (ops/pallas/fused_decode.py), which serve-q8 uses by default on
         # the TPU backend. Both read the SAME stacked arrays — one weight
         # copy in HBM.
+        from .models.gemma import swa_active as _swa_active
+
         want_scan = os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
         want_mega = (
             mode in ("serve-q8", "serve-q", "serve-q4")
             and sharding_fn is None  # megakernel is single-chip; TP uses GSPMD
+            and not _swa_active(self.hparams)  # megakernels: no-mask contract
             and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
             and (jax.default_backend() == "tpu" or os.environ.get("LLMI_FUSED_INTERPRET"))
         )

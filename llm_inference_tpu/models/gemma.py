@@ -117,8 +117,30 @@ def _write_cache(cache: Array, new: Array, pos: Array, n_valid: Array) -> Array:
     return cache.at[slots].set(new.astype(cache.dtype), mode="drop")
 
 
-def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams, exact: bool = True):
+def _swa_mask_enabled() -> bool:
+    """LLMI_SWA_MASK=1 turns on REAL sliding-window attention on SWA
+    layers (SURVEY §5). The default reproduces the reference's behavior —
+    it parses the SWA pattern but never applies a window mask
+    (reference model.cpp:727-748) — which is what greedy parity vs the
+    reference engine requires."""
+    return os.environ.get("LLMI_SWA_MASK", "0") == "1"
+
+
+def swa_active(hp: HParams) -> bool:
+    """True when real windowing is both requested (LLMI_SWA_MASK=1) and
+    applicable (the checkpoint records a window size and has SWA layers).
+    Megakernel gates check this: the whole-step kernels implement the
+    parity no-mask contract only."""
+    if not _swa_mask_enabled() or hp.sliding_window <= 0:
+        return False
+    return any(hp.is_swa_layer(i) for i in range(hp.block_count))
+
+
+def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams,
+                   exact: bool = True, window: Array | int = 0):
     """QK scores + softcap + ALiBi + causal mask (reference model.cpp:501-518).
+    ``window`` > 0 additionally masks keys older than q_pos - window + 1
+    (real SWA; see _swa_mask_enabled).
 
     Returns (scores [T, Hkv, group, S] f32 with -inf at masked slots,
     valid [T, S] bool)."""
@@ -145,6 +167,11 @@ def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams, exact: 
         scores = scores + slopes[None, :, :, None] * bias[:, None, None, :]
 
     valid = key_pos[None, :] <= q_pos[:, None]  # causal over written slots [T, S]
+    window = jnp.asarray(window, dtype=jnp.int32)
+    # window <= 0 disables (works for both static ints and traced scalars
+    # in the scan-over-layers path)
+    valid = valid & ((window <= 0)
+                     | (key_pos[None, :] > q_pos[:, None] - window))
     scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
     return scores, valid
 
@@ -157,6 +184,7 @@ def _attention(
     pos: Array,
     hp: HParams,
     exact: bool = True,
+    window: Array | int = 0,
 ) -> Array:
     """Masked-softmax attention over the full cache (reference run_attn,
     model.cpp:478-548), f32 accumulation. Returns [T, H*Dv] f32."""
@@ -181,16 +209,21 @@ def _attention(
         # context length instead of max_seq (ops/pallas/flash_decode.py)
         from ..ops.pallas.flash_decode import flash_decode
 
+        length = jnp.asarray(pos + 1, dtype=jnp.int32)
+        window = jnp.asarray(window, dtype=jnp.int32)
+        start = jnp.where(window > 0, jnp.maximum(length - window, 0), 0)
         out = flash_decode(
             q[None, 0],  # [1, H, Dk]
             k_cache[None],
             v_cache[None],
-            jnp.asarray(pos + 1, dtype=jnp.int32)[None],
+            length[None],
+            start[None],
             softcap=hp.attn_soft_cap,
         )
         return out.reshape(T, H * Dv)
 
-    scores, _ = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact)
+    scores, _ = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact,
+                               window=window)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -210,6 +243,7 @@ def _attention_parity(
     pos: Array,
     hp: HParams,
     exact: bool = True,
+    window: Array | int = 0,
 ) -> Array:
     """Reference-faithful emulation of the online-softmax attention with
     its f16 V-accumulator (reference model.cpp:501-548, vec_scale_f16 /
@@ -223,7 +257,8 @@ def _attention_parity(
     T, H, _ = q.shape
     S, Hkv, Dv = v_cache.shape
     group = H // Hkv
-    scores, valid = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact)
+    scores, valid = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact,
+                                   window=window)
 
     def step(carry, inputs):
         max_s, s_acc, v_acc = carry  # [T,Hkv,g], [T,Hkv,g], [T,Hkv,g,Dv]
@@ -403,7 +438,9 @@ def forward(
             new_k[src] = _write_cache(new_k[src], k, pos, n_valid)
             new_v[src] = _write_cache(new_v[src], v, pos, n_valid)
 
-        attn = tap(f"kqv_out-{i}", attention(q, new_k[src], new_v[src], pos=pos, hp=hp))
+        win = hp.swa_window(i) if _swa_mask_enabled() else 0
+        attn = tap(f"kqv_out-{i}", attention(q, new_k[src], new_v[src],
+                                             pos=pos, hp=hp, window=win))
         attn = mm(layer.wo, attn)  # output projection [T, D]
         if layer.post_attn_norm is not None:
             attn = tap(f"attn_post_norm-{i}", _norm(attn, layer.post_attn_norm, hp.rms_eps))
@@ -452,6 +489,8 @@ def _megakernel_enabled(hp: HParams, w: ModelWeights) -> bool:
     (ops/pallas/fused_decode.py megakernel_supported)."""
     if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
         return False
+    if swa_active(hp):
+        return False  # megakernels implement the parity no-mask contract
     if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
     from ..ops.pallas.fused_decode import megakernel_supported
@@ -467,6 +506,8 @@ def _megakernel_q_enabled(hp: HParams, w: ModelWeights) -> bool:
         return False
     if os.environ.get("LLMI_FORCE_CAPACITY", "0") == "1":
         return False  # let the streamed capacity kernel take the step
+    if swa_active(hp):
+        return False  # megakernels implement the parity no-mask contract
     if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
     from ..quant.device import TQ4Tensor, TQuantTensor
@@ -484,6 +525,8 @@ def _megakernel_stream_enabled(hp: HParams, w: ModelWeights, *, max_seq=None) ->
     VMEM but whose projections tile into streamable lane-slices."""
     if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
         return False
+    if swa_active(hp):
+        return False  # megakernels implement the parity no-mask contract
     if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
     from ..quant.device import TQ4Tensor, TQuantTensor
@@ -574,16 +617,20 @@ def forward_batched_decode(
 
         S = new_k[src].shape[1]
         lengths = jnp.where(pos >= S, 0, pos + 1)
+        win = hp.swa_window(i) if _swa_mask_enabled() else 0
         if use_flash:
             from ..ops.pallas.flash_decode import flash_decode
 
+            starts = (jnp.maximum(lengths - win, 0) if win > 0
+                      else jnp.zeros_like(lengths))
             attn = flash_decode(
-                q, new_k[src], new_v[src], lengths, softcap=hp.attn_soft_cap or 0.0
+                q, new_k[src], new_v[src], lengths, starts,
+                softcap=hp.attn_soft_cap or 0.0
             ).reshape(B, hp.n_head * dv)
         else:
             attn = jax.vmap(
                 lambda qb, kb, vb, pb: _attention(
-                    qb[None], kb, vb, pos=pb, hp=hp, exact=False
+                    qb[None], kb, vb, pos=pb, hp=hp, exact=False, window=win
                 )[0]
             )(q, new_k[src], new_v[src], jnp.minimum(pos, S - 1))
 
@@ -627,6 +674,7 @@ def forward_batched_decode_paged(
     table: Array,    # [B, max_blocks] int32 page ids; >= n_pages = unassigned
     tokens: Array,   # [B] int32
     pos: Array,      # [B] int32; parked slots use pos >= max_blocks*PAGE
+    ring_layers: tuple[int, ...] = (),  # KV layers allocated as SWA rings
 ) -> tuple[Array, KVCache]:
     """One batched decode step over a PAGED KV cache: HBM capacity (and
     attention traffic) scale with the pool's live tokens, not
@@ -635,7 +683,15 @@ def forward_batched_decode_paged(
     cache, one request, model.cpp:461-474). Weight matmuls are identical
     to forward_batched_decode; the K/V row scatters indirect through the
     page table and attention runs the paged ragged flash-decode kernel
-    (ops/pallas/flash_decode.py paged_flash_decode)."""
+    (ops/pallas/flash_decode.py paged_flash_decode).
+
+    Under real windowing (LLMI_SWA_MASK=1) a SWA layer's pool may be a
+    per-lane RING of ceil(window/PAGE)+1 pages (serving.py allocates it;
+    recognized here by its shape, B * ring rows): block j of lane b lives
+    at pool row b*ring + j%ring, so the layer's KV footprint is bounded by
+    the window instead of the full context. Ring rows are only ever read
+    inside the live window [start, length) — the window mask guarantees
+    any aliased (overwritten) block is masked."""
     mm = partial(matmul, exact=False, mm_impl="xla")
     B = tokens.shape[0]
     pos = jnp.asarray(pos, dtype=jnp.int32)
@@ -685,6 +741,20 @@ def forward_batched_decode_paged(
         q = q * jnp.float32(hp.f_attention_scale)
 
         src = hp.kv_source_layer(i)
+        win = hp.swa_window(i) if _swa_mask_enabled() else 0
+        ring = (-(-win // page) + 1) if win > 0 else 0
+        is_ring = src in ring_layers
+        assert not is_ring or (ring > 0 and new_k[src].shape[0] == B * ring)
+        if is_ring:
+            # per-lane ring addressing: block j -> pool row b*ring + j%ring
+            table_i = (lanes[:, None] * ring
+                       + (jnp.arange(max_blocks, dtype=jnp.int32) % ring)[None, :])
+            n_pages_i = B * ring
+            page_of_i = jnp.where(parked, n_pages_i,
+                                  lanes * ring + blk % ring)
+        else:
+            table_i = table
+            page_of_i = page_of
         if has_kv:
             k = k_flat.reshape(B, hp.n_head_kv, dk)
             if layer.k_norm is not None:
@@ -695,25 +765,27 @@ def forward_batched_decode_paged(
             if hp.architecture == "gemma4":
                 v = rms_norm(v, hp.rms_eps)
             # per-lane scatter at (page_of[b], off[b]); parked lanes drop
-            new_k[src] = new_k[src].at[page_of, off].set(
+            new_k[src] = new_k[src].at[page_of_i, off].set(
                 k.astype(new_k[src].dtype), mode="drop")
-            new_v[src] = new_v[src].at[page_of, off].set(
+            new_v[src] = new_v[src].at[page_of_i, off].set(
                 v.astype(new_v[src].dtype), mode="drop")
 
         if use_flash:
             from ..ops.pallas.flash_decode import paged_flash_decode
 
+            starts = (jnp.maximum(lengths - win, 0) if win > 0
+                      else jnp.zeros_like(lengths))
             attn = paged_flash_decode(
-                q, new_k[src], new_v[src], table, lengths,
+                q, new_k[src], new_v[src], table_i, lengths, starts,
                 softcap=hp.attn_soft_cap or 0.0,
             ).reshape(B, hp.n_head * dv)
         else:
             # gather-to-dense fallback (CPU tests / ALiBi): [B, S_max, ...]
-            kd = new_k[src][table].reshape(B, max_blocks * page, hp.n_head_kv, dk)
-            vd = new_v[src][table].reshape(B, max_blocks * page, hp.n_head_kv, dv)
+            kd = new_k[src][table_i].reshape(B, max_blocks * page, hp.n_head_kv, dk)
+            vd = new_v[src][table_i].reshape(B, max_blocks * page, hp.n_head_kv, dv)
             attn = jax.vmap(
                 lambda qb, kb, vb, pb: _attention(
-                    qb[None], kb, vb, pos=pb, hp=hp, exact=False
+                    qb[None], kb, vb, pos=pb, hp=hp, exact=False, window=win
                 )[0]
             )(q, kd, vd, jnp.minimum(pos, max_blocks * page - 1))
 
@@ -776,11 +848,15 @@ def _forward_scan(
     rope_bases = jnp.asarray(
         np.array([hp.rope_base_for_layer(i) for i in range(L)], dtype=np.float32)
     )
+    windows = jnp.asarray(
+        np.array([hp.swa_window(i) if _swa_mask_enabled() else 0
+                  for i in range(L)], dtype=np.int32)
+    )
     dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
     pos_vec = pos + jnp.arange(T, dtype=jnp.int32)
 
     def body(x, inputs):
-        lw, k_c, v_c, rope_base = inputs
+        lw, k_c, v_c, rope_base, win = inputs
 
         h = _norm(x, lw.attn_norm, hp.rms_eps)
         if lw.wqkv is not None:  # load-time fusion (fuse_projections)
@@ -806,7 +882,7 @@ def _forward_scan(
         k_c = _write_cache(k_c, k, pos, n_valid)
         v_c = _write_cache(v_c, v, pos, n_valid)
 
-        attn = attention(q, k_c, v_c, pos=pos, hp=hp)
+        attn = attention(q, k_c, v_c, pos=pos, hp=hp, window=win)
         attn = mm(lw.wo, attn)
         if lw.post_attn_norm is not None:
             attn = _norm(attn, lw.post_attn_norm, hp.rms_eps)
@@ -827,7 +903,8 @@ def _forward_scan(
             x = x * lw.out_scale.reshape(())
         return x, (k_c, v_c)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (w.layers, cache.k, cache.v, rope_bases))
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (w.layers, cache.k, cache.v, rope_bases, windows))
 
     last = jnp.take(x, n_valid - 1, axis=0)
     last = _norm(last, w.output_norm, hp.rms_eps)

@@ -32,6 +32,7 @@ class HParams:
     f_max_alibi_bias: float
     attn_soft_cap: float
     swa_layers: tuple[bool, ...]
+    sliding_window: int  # window SIZE in tokens; 0 = none recorded
     final_logit_softcap: float
     embedding_length_per_layer: int
     n_layer_kv_from_start: int  # -1 => every layer has its own KV
@@ -47,6 +48,14 @@ class HParams:
     def rope_base_for_layer(self, i: int) -> float:
         """SWA layers use base 10000 (reference model.cpp:731-732)."""
         return 10000.0 if self.is_swa_layer(i) else self.rope_freq_base
+
+    def swa_window(self, i: int) -> int:
+        """Sliding-window size for layer i under REAL windowing
+        (LLMI_SWA_MASK=1): the recorded window on SWA layers, 0 (no
+        window) on global layers or when the checkpoint records none.
+        The parity default ignores this — the reference parses the SWA
+        pattern but never applies a window mask (model.cpp:727-748)."""
+        return self.sliding_window if self.is_swa_layer(i) else 0
 
     def layer_has_kv(self, i: int) -> bool:
         """Shared-KV: trailing layers compute no K/V (reference model.cpp:774-777)."""
@@ -118,6 +127,7 @@ def load_hparams(metadata: Mapping[str, Any]) -> HParams:
         f_max_alibi_bias=float(opt("attention.max_alibi_bias", 0.0)),
         attn_soft_cap=float(opt("attention.logit_softcapping", 0.0)),
         swa_layers=swa_layers,
+        sliding_window=int(opt("attention.sliding_window", 0)),
         final_logit_softcap=float(opt("attention.final_logit_softcapping", 0.0)),
         embedding_length_per_layer=int(eplv),
         n_layer_kv_from_start=n_layer_kv_from_start,

@@ -8,15 +8,19 @@ mostly-masked keys). This kernel is the serving-path fix, the TPU analogue
 of paged/flash decode:
 
   - grid (batch, key_blocks); the key/value BlockSpec index_map CLAMPS the
-    block index to each request's last valid block (scalar-prefetched
-    lengths), so out-of-range blocks re-reference the previous block and
+    block index to each request's live window [starts, length) (scalar-
+    prefetched), so out-of-range blocks re-reference the previous block and
     Mosaic skips their DMA — bytes moved scale with the request's actual
-    length, not max_seq;
+    live context, not max_seq;
   - online softmax (m, l, acc) in VMEM scratch across key blocks — the
     same numerics as the reference's run_attn accumulator
     (reference model.cpp:501-541), blockwise instead of per-element;
   - GQA by a static loop over KV heads (small), one MXU dot per KV head
-    per block.
+    per block;
+  - ``starts`` carries REAL sliding-window attention (LLMI_SWA_MASK=1):
+    keys < starts[b] are skipped at DMA granularity and masked within the
+    boundary block. The parity default passes starts=None (= 0s) — the
+    reference parses the SWA pattern but never masks (model.cpp:727-748).
 
 Scope: decode (one query token per request). ALiBi is not implemented
 here (callers fall back to the XLA path when max_alibi_bias > 0).
@@ -35,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK = 256
 
 
-def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, block, softcap):
+def _kernel(lens_ref, starts_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr,
+            l_scr, *, block, softcap):
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -47,8 +52,9 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, block, s
         l_scr[:] = jnp.zeros_like(l_scr)
 
     length = lens_ref[b]
+    start = starts_ref[b]
 
-    @pl.when(j * block < length)
+    @pl.when((j * block < length) & ((j + 1) * block > start))
     def _():
         q = q_ref[0].astype(jnp.float32)  # [H, Dk]
         k = k_ref[0].astype(jnp.float32)  # [BLK, Hkv, Dk]
@@ -58,7 +64,7 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, block, s
         group = H // hkv
 
         key_pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-        valid = key_pos < length  # [1, BLK]
+        valid = (key_pos < length) & (key_pos >= start)  # [1, BLK]
 
         for i in range(hkv):  # static, small
             qi = q[i * group : (i + 1) * group, :]  # [G, Dk]
@@ -97,6 +103,12 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr, *, block, s
         o_ref[0] = (acc[:] / safe).astype(o_ref.dtype)
 
 
+def _starts_or_zeros(starts, lengths):
+    if starts is None:
+        return jnp.zeros_like(lengths, dtype=jnp.int32)
+    return starts.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("softcap", "interpret"))
 def paged_flash_decode(
     q: Array,  # [B, H, Dk] f32 (already scaled)
@@ -104,6 +116,7 @@ def paged_flash_decode(
     v_pool: Array,  # [N_pages, PAGE, Hkv, Dv]
     table: Array,  # [B, max_pages] int32: page id per block of each request
     lengths: Array,  # [B] int32
+    starts: Array | None = None,  # [B] int32: first attendable key (SWA)
     *,
     softcap: float = 0.0,
     interpret: bool = False,
@@ -112,37 +125,39 @@ def paged_flash_decode(
     shared PAGE POOL and each request's blocks indirect through a
     scalar-prefetched page table — HBM capacity scales with LIVE tokens
     across all requests instead of batch x max_seq, and DMA still skips
-    blocks past each request's length (out-of-range grid steps clamp to
-    the request's last page, so consecutive steps re-reference the same
-    pool row and Mosaic elides the copy). The kernel body (blockwise
-    online softmax) is shared with the dense path. Page size = the kernel
-    block (DEFAULT_BLOCK)."""
+    blocks outside each request's live window (out-of-range grid steps
+    clamp to the window's boundary pages, so consecutive steps
+    re-reference the same pool row and Mosaic elides the copy). The kernel
+    body (blockwise online softmax) is shared with the dense path. Page
+    size = the kernel block (DEFAULT_BLOCK)."""
     B, H, Dk = q.shape
     N, page, Hkv, Dv = v_pool.shape
     nb = table.shape[1]
 
-    def pagemap(b, j, lens, tbl):
-        # clamp j to the request's last live block (skips dead-tail DMA),
-        # then clamp the page id itself: parked lanes (length 0) hit the
-        # table's unassigned sentinel (== n_pages), which would be an
-        # out-of-bounds block DMA on real TPU hardware. The kernel body
-        # never reads the block (j*page < length fails), so any valid
-        # page works.
+    def pagemap(b, j, lens, starts_, tbl):
+        # clamp j into the request's live window [first, last] (skips
+        # dead-tail AND slid-out-prefix DMA), then clamp the page id
+        # itself: parked lanes (length 0) hit the table's unassigned
+        # sentinel (== n_pages), which would be an out-of-bounds block DMA
+        # on real TPU hardware. The kernel body never reads the block
+        # (the j-window gate fails), so any valid page works.
         last = jnp.maximum(lens[b] - 1, 0) // page
-        pid = tbl[b, jnp.minimum(j, last)]
+        first = jnp.minimum(starts_[b] // page, last)
+        pid = tbl[b, jnp.minimum(jnp.maximum(j, first), last)]
         return (jnp.minimum(pid, N - 1), 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((1, H, Dk), lambda b, j, lens, tbl: (b, 0, 0),
+            pl.BlockSpec((1, H, Dk), lambda b, j, lens, starts_, tbl: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, page, Hkv, Dk), pagemap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, page, Hkv, Dv), pagemap, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, H, Dv), lambda b, j, lens, tbl: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, H, Dv), lambda b, j, lens, starts_, tbl: (b, 0, 0),
+            memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((H, Dv), jnp.float32),
@@ -151,18 +166,19 @@ def paged_flash_decode(
         ],
     )
 
-    def kernel(lens_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr):
+    def kernel(lens_ref, starts_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref,
+               acc, m_scr, l_scr):
         del tbl_ref  # indirection happens in the index_map
-        _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
-                block=page, softcap=softcap)
+        _kernel(lens_ref, starts_ref, q_ref, k_ref, v_ref, o_ref, acc,
+                m_scr, l_scr, block=page, softcap=softcap)
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), table.astype(jnp.int32),
-      q.astype(jnp.float32), k_pool, v_pool)
+    )(lengths.astype(jnp.int32), _starts_or_zeros(starts, lengths),
+      table.astype(jnp.int32), q.astype(jnp.float32), k_pool, v_pool)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "softcap", "interpret"))
@@ -171,6 +187,7 @@ def flash_decode(
     k_cache: Array,  # [B, S, Hkv, Dk] f16
     v_cache: Array,  # [B, S, Hkv, Dv] f16
     lengths: Array,  # [B] int32: keys < length attend (the causal frontier)
+    starts: Array | None = None,  # [B] int32: first attendable key (SWA)
     *,
     block: int = DEFAULT_BLOCK,
     softcap: float = 0.0,
@@ -183,20 +200,23 @@ def flash_decode(
         raise ValueError(f"max_seq {S} must be a multiple of block {block}")
     nb = S // block
 
-    def clamp(b, j, lens):
+    def clamp(b, j, lens, starts_):
         last = jnp.maximum(lens[b] - 1, 0) // block
-        return (b, jnp.minimum(j, last), 0, 0)
+        first = jnp.minimum(starts_[b] // block, last)
+        return (b, jnp.minimum(jnp.maximum(j, first), last), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((1, H, Dk), lambda b, j, lens: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Dk), lambda b, j, lens, starts_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, Hkv, Dk), clamp, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, Hkv, Dv), clamp, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, H, Dv), lambda b, j, lens: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, H, Dv), lambda b, j, lens, starts_: (b, 0, 0),
+            memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((H, Dv), jnp.float32),
@@ -210,4 +230,5 @@ def flash_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Dv), jnp.float32),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), q.astype(jnp.float32), k_cache, v_cache)
+    )(lengths.astype(jnp.int32), _starts_or_zeros(starts, lengths),
+      q.astype(jnp.float32), k_cache, v_cache)

@@ -188,11 +188,14 @@ class BatchedServer:
         # (ops/pallas/fused_decode_batch.py). Dense serve-q8 lanes only —
         # keeps a SECOND (stacked) copy of the layer weights for the
         # decode path while prefill keeps the per-layer set.
+        from .models.gemma import swa_active
+
         self._mega_batch = False
         if (
             mode == "serve-q8"
             and sharding_fn is None
             and kv_pages is None
+            and not swa_active(hp)  # megakernels keep the no-mask contract
             and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
             and (jax.default_backend() == "tpu"
                  or os.environ.get("LLMI_FUSED_INTERPRET"))
@@ -260,16 +263,35 @@ class BatchedServer:
             self.kv_pages = kv_pages
             nb = max_seq // PAGE
 
-            def _pool(dk_or_dv):
-                return jnp.zeros((kv_pages, PAGE, hp.n_head_kv, dk_or_dv),
+            # Real SWA windowing (LLMI_SWA_MASK=1): a windowed layer only
+            # ever reads the last `window` keys, so its pool shrinks to a
+            # per-lane RING of ceil(window/PAGE)+1 pages — block j of lane
+            # b lives at ring row b*ring + j%ring, and the layer's KV
+            # footprint is bounded by the window instead of max_seq.
+            # Shared-KV models keep plain pools (owner/consumer window
+            # agreement is not guaranteed there).
+            ring_on = swa_active(hp) and hp.n_layer_kv_from_start < 0
+
+            def _ring(i):
+                win = hp.swa_window(i) if ring_on else 0
+                return (-(-win // PAGE) + 1) if win > 0 else 0
+
+            self._rings = {i: _ring(i) for i in range(hp.n_kv_layers)
+                           if _ring(i) > 0}
+            ring_layers = tuple(sorted(self._rings))
+
+            def _pool(i, dk_or_dv):
+                rows = (max_batch * self._rings[i] if i in self._rings
+                        else kv_pages)
+                return jnp.zeros((rows, PAGE, hp.n_head_kv, dk_or_dv),
                                  dtype=kv_dtype)
 
             from .models.gemma import KVCache
 
             self._caches = KVCache(
-                k=tuple(_pool(hp.n_embd_head_k_swa if hp.is_swa_layer(i)
+                k=tuple(_pool(i, hp.n_embd_head_k_swa if hp.is_swa_layer(i)
                               else hp.n_embd_head_k) for i in range(hp.n_kv_layers)),
-                v=tuple(_pool(hp.n_embd_head_v_swa if hp.is_swa_layer(i)
+                v=tuple(_pool(i, hp.n_embd_head_v_swa if hp.is_swa_layer(i)
                               else hp.n_embd_head_v) for i in range(hp.n_kv_layers)),
             )
             self._table = np.full((max_batch, nb), kv_pages, dtype=np.int32)
@@ -278,7 +300,8 @@ class BatchedServer:
             def _chunk_paged(w, pools, table, tokens, pos):
                 def body(carry, _):
                     c, toks, p = carry
-                    logits, c = forward_batched_decode_paged(hp, w, c, table, toks, p)
+                    logits, c = forward_batched_decode_paged(
+                        hp, w, c, table, toks, p, ring_layers=ring_layers)
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     return (c, nxt, p + 1), nxt
 
@@ -286,24 +309,35 @@ class BatchedServer:
                                                length=decode_chunk)
                 return jnp.moveaxis(toks, 0, 1), c
 
-            def _prefill_paged(w, pools, pages, tokens, n_valid):
+            def _prefill_paged(w, pools, pages, tokens, n_valid, slot):
                 # dense scratch prefill (bucket-length lanes), then the
                 # bucket rows scatter into the request's pages; page rows
-                # past n_valid stay stale and are never read (causal mask)
+                # past n_valid stay stale and are never read (causal mask).
+                # Ring layers scatter into the lane's ring rows instead —
+                # only the blocks covering [n_valid - window, n_valid)
+                # (others would alias live ring rows and are masked anyway).
                 bucket = tokens.shape[0]
                 scratch = init_cache(hp, max(bucket, 16), dtype=kv_dtype)
                 logits, scratch = forward(hp, w, scratch, tokens, 0, n_valid,
                                           exact=False, mm_impl="xla")
                 nk, nv = list(pools.k), list(pools.v)
                 nbk = -(-bucket // PAGE)
+                last_blk = jnp.maximum(n_valid - 1, 0) // PAGE
                 for i in range(len(nk)):
+                    r = self._rings.get(i, 0)
                     for j in range(nbk):
                         lo = j * PAGE
                         rows = min(bucket, lo + PAGE) - lo
-                        nk[i] = nk[i].at[pages[j], :rows].set(
+                        if r:
+                            live = (j <= last_blk) & (j > last_blk - r)
+                            row = jnp.where(live, slot * r + (j % r),
+                                            max_batch * r)  # OOB -> drop
+                        else:
+                            row = pages[j]
+                        nk[i] = nk[i].at[row, :rows].set(
                             scratch.k[i][lo : lo + rows].astype(nk[i].dtype),
                             mode="drop")
-                        nv[i] = nv[i].at[pages[j], :rows].set(
+                        nv[i] = nv[i].at[row, :rows].set(
                             scratch.v[i][lo : lo + rows].astype(nv[i].dtype),
                             mode="drop")
                 from .models.gemma import KVCache as _KV
@@ -311,7 +345,7 @@ class BatchedServer:
                 return (jnp.argmax(logits).astype(jnp.int32),
                         _KV(k=tuple(nk), v=tuple(nv)))
 
-            def _prefill_paged_group(w, pools, pages, tokens, n_valids):
+            def _prefill_paged_group(w, pools, pages, tokens, n_valids, slots):
                 # grouped admission, paged flavor: ONE vmapped bucket
                 # prefill for the whole group (G x bucket rows per weight
                 # stream, exactly like the dense _prefill_group), then a
@@ -332,15 +366,32 @@ class BatchedServer:
 
                 toks_out, scratch = jax.vmap(one)(tokens, n_valids)
                 pages_flat = pages.reshape(-1)
+                last_blk = jnp.maximum(n_valids - 1, 0) // PAGE  # [G]
+                js = jnp.arange(nbk, dtype=jnp.int32)  # [nbk]
                 nk, nv = list(pools.k), list(pools.v)
                 for i in range(len(nk)):
-                    def scatter(pool, s):
+                    r = self._rings.get(i, 0)
+                    if r:
+                        # ring rows: slot*r + j%r for the live window's
+                        # blocks only (one block per ring row — a single
+                        # scatter never writes colliding indices); padded
+                        # members carry slot == max_batch (OOB -> drop)
+                        live = ((js[None, :] <= last_blk[:, None])
+                                & (js[None, :] > last_blk[:, None] - r))
+                        rows = jnp.where(
+                            live, slots[:, None] * r + (js % r)[None, :],
+                            max_batch * r)
+                        idx = rows.reshape(-1)
+                    else:
+                        idx = pages_flat
+
+                    def scatter(pool, s, idx=idx):
                         s = s[:, : nbk * PAGE]
                         pad = nbk * PAGE - s.shape[1]
                         if pad > 0:
                             s = jnp.pad(s, ((0, 0), (0, pad), (0, 0), (0, 0)))
                         s = s.reshape(G * nbk, PAGE, *s.shape[2:])
-                        return pool.at[pages_flat].set(
+                        return pool.at[idx].set(
                             s.astype(pool.dtype), mode="drop")
 
                     nk[i] = scatter(nk[i], scratch.k[i])
@@ -450,6 +501,7 @@ class BatchedServer:
                     tok, self._caches = self._prefill_paged(
                         self.weights, self._caches, jnp.asarray(pages_arr),
                         jnp.asarray(padded), jnp.int32(len(req.prompt_ids)),
+                        jnp.int32(slot),
                     )
                     self._activate(req, slot, int(tok))
                     continue
@@ -462,12 +514,14 @@ class BatchedServer:
                                     dtype=np.int32)
                 tokens = np.zeros((g, bucket), dtype=np.int32)
                 n_valids = np.zeros(g, dtype=np.int32)
+                slots_arr = np.full(g, self.max_batch, dtype=np.int32)
                 taken = []
                 for i, req in enumerate(group):
                     need_pages = -(-(len(req.prompt_ids) + req.n_predict
                                      + self.decode_chunk) // PAGE)
                     slot = self._free.pop(0)
                     taken.append(slot)
+                    slots_arr[i] = slot
                     req.pages = [self._free_pages.pop(0)
                                  for _ in range(need_pages)]
                     self._table[slot, :] = self.kv_pages
@@ -478,6 +532,7 @@ class BatchedServer:
                 toks, self._caches = self._prefill_paged_group(
                     self.weights, self._caches, jnp.asarray(pages_arr),
                     jnp.asarray(tokens), jnp.asarray(n_valids),
+                    jnp.asarray(slots_arr),
                 )
                 toks = np.asarray(toks)
                 for i, req in enumerate(group):

@@ -33,6 +33,8 @@ def build_gemma3_gguf(
     with_post_norms: bool = False,
     head_dim: int | None = None,
     weight_std: float = 0.1,
+    sliding_window: int = 0,
+    swa_pattern: list[bool] | None = None,
 ) -> bytes:
     """Build a complete little gemma3 GGUF buffer with seeded random weights.
 
@@ -58,6 +60,10 @@ def build_gemma3_gguf(
     w.add_metadata("gemma3.attention.head_count_kv", n_head_kv)
     w.add_metadata("gemma3.attention.layer_norm_rms_epsilon", 1e-6)
     w.add_metadata("gemma3.rope.freq_base", rope_freq_base)
+    if sliding_window:
+        w.add_metadata("gemma3.attention.sliding_window", sliding_window)
+    if swa_pattern is not None:
+        w.add_metadata("gemma3.attention.sliding_window_pattern", swa_pattern)
     if explicit_head_dim:
         w.add_metadata("gemma3.attention.key_length", head_dim)
         w.add_metadata("gemma3.attention.value_length", head_dim)

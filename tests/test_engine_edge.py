@@ -66,6 +66,7 @@ def test_stop_token_respected_mid_chunk():
     assert engine.tokenizer.eos_id not in clipped
 
 
+@pytest.mark.slow  # interpret-mode megakernel: see pytest.ini fast gate
 @pytest.mark.parametrize("mode,leaf", [("serve-q", "TQuantTensor"),
                                        ("serve-q4", "TQ4Tensor")])
 def test_engine_megakernel_q_mode_activation(monkeypatch, mode, leaf):

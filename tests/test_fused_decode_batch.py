@@ -12,6 +12,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# interpret-mode megakernel tests: minutes of CPU emulation; the fast
+# CI gate (pytest -m 'not slow') skips them (VERDICT r2 weak #8)
+pytestmark = pytest.mark.slow
+
 from llm_inference_tpu.gguf import GGUFFile
 from llm_inference_tpu.models import forward, init_cache, load_weights
 from llm_inference_tpu.models.gemma import KVCache, forward_batched_decode

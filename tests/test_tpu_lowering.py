@@ -133,7 +133,8 @@ def test_streamed_capacity_kernel_lowers_12b_geometry():
         n_embd_head_k=dk, n_embd_head_v=dv,
         n_embd_head_k_swa=dk, n_embd_head_v_swa=dv,
         f_attention_scale=dk**-0.5, f_max_alibi_bias=0.0,
-        attn_soft_cap=0.0, swa_layers=(), final_logit_softcap=0.0,
+        attn_soft_cap=0.0, swa_layers=(), sliding_window=0,
+        final_logit_softcap=0.0,
         embedding_length_per_layer=0, n_layer_kv_from_start=-1,
         vocab_size=V,
     )

@@ -27,6 +27,69 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 HBM_GBPS = float(os.environ.get("LLMI_HBM_GBPS", "819"))  # v5e: ~819 GB/s
+MXU_TFLOPS = float(os.environ.get("LLMI_MXU_TFLOPS", "197"))  # v5e bf16 peak
+
+
+def matmul_params(w) -> int:
+    """Logical weight elements touched by matmuls per token (layer
+    projections + the tied-embedding logits matmul): FLOPs/token = 2x."""
+    def elems(p):
+        if p is None:
+            return 0
+        if hasattr(p, "rows") and hasattr(p, "cols"):
+            return int(p.rows) * int(p.cols)
+        if hasattr(p, "w"):
+            import numpy as np
+
+            return int(np.prod(p.w.shape))
+        return 0
+
+    layers = w.layers if isinstance(w.layers, (list, tuple)) else [w.layers]
+    total = 0
+    for l in layers:
+        for name in ("wqkv", "wq", "wk", "wv", "wo", "w_gate_up", "w_gate",
+                     "w_up", "w_down", "per_layer_inp_gate", "per_layer_proj"):
+            total += elems(getattr(l, name, None))
+    # stacked LayerWeights carry an [L, ...] leading dim already counted
+    total += elems(w.token_embd)
+    return total
+
+
+def prefill_roofline(eng, buckets=(32, 64, 128, 256, 512), reps=8):
+    """MXU utilization of the bucketed prefill: FLOPs = 2 * T * params,
+    measured against the bf16 peak (BASELINE.md names p50 TTFT / slow
+    prefill a headline axis; reference README.md:19 admits token-by-token
+    prefill)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    params = matmul_params(eng.weights)
+    rows = []
+    for T in buckets:
+        if T > eng.max_seq:
+            continue
+        rng = np.random.default_rng(0)
+        prompt = np.zeros(T, dtype=np.int32)
+        prompt[:] = rng.integers(10, 10000, size=T)
+        prompt[0] = 2
+        cache = eng.new_cache()
+        # compile + settle
+        tok, _, cache = eng._prefill(eng.weights, cache, jnp.asarray(prompt),
+                                     jnp.int32(0), jnp.int32(T), eng._base_key)
+        jax.block_until_ready(tok)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            cache = eng.new_cache()
+            tok, _, cache = eng._prefill(
+                eng.weights, cache, jnp.asarray(prompt), jnp.int32(0),
+                jnp.int32(T), eng._base_key)
+            jax.block_until_ready(tok)
+        dt = (time.perf_counter() - t0) / reps
+        flops = 2.0 * T * params
+        mfu = flops / dt / (MXU_TFLOPS * 1e12)
+        rows.append((T, dt * 1e3, flops / 1e9, 100 * mfu, T / dt))
+    return rows
 
 
 def weight_bytes(w) -> dict[str, int]:
@@ -185,6 +248,8 @@ def main():
     ap.add_argument("--decode-chunk", type=int, default=64)
     ap.add_argument("--write", action="store_true", help="write ROOFLINE.md")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--no-prefill", action="store_true",
+                    help="skip the prefill MFU sweep")
     args = ap.parse_args()
 
     import numpy as np
@@ -227,6 +292,16 @@ def main():
     for name, us in per_op.most_common(args.top):
         n = per_op_n[name]
         lines.append(f"| `{name[:70]}` | {us/steps:.1f} | {n/steps:.1f} | {us/max(n,1):.1f} |")
+
+    if not args.no_prefill:
+        lines.append("\n## Prefill MFU (bucketed prompt lengths)\n")
+        lines.append(f"bf16 MXU peak assumed {MXU_TFLOPS} TFLOP/s (v5e). "
+                     "FLOPs = 2 x T x matmul params. TTFT for a prompt of "
+                     "length T is ~the bucket row's ms (single dispatch).\n")
+        lines.append("| bucket | ms | GFLOPs | MFU | prefill tok/s |")
+        lines.append("|---|---|---|---|---|")
+        for T, ms, gf, mfu, tps in prefill_roofline(eng):
+            lines.append(f"| {T} | {ms:.2f} | {gf:.1f} | {mfu:.1f}% | {tps:.0f} |")
 
     out = "\n".join(lines)
     print(out)
