@@ -152,10 +152,26 @@ def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams,
     # HIGHEST keeps the dot true-f32 on the MXU (TPU defaults to bf16).
     qg = (f16_round(q) if exact else q.astype(jnp.float32)).reshape(T, Hkv, group, Dk)
     k = k_cache.astype(jnp.float32)
-    scores = jnp.einsum(
-        "tkgd,skd->tkgs", qg, k, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if exact else None,
-    )
+    if exact and jax.default_backend() == "cpu" and os.environ.get(
+            "LLMI_EXACT_F32_SCORES", "0") != "1":
+        # The reference accumulates each score in a C++ DOUBLE
+        # (model.cpp:504-509). On CPU, accumulate in f64 too — removes the
+        # f32 summation-order noise (~1e-7 relative) that was the residual
+        # parity gap; the remaining difference is the reference's per-term
+        # f32 product rounding (~1e-8) and libm-vs-XLA expf ulps.
+        from jax import enable_x64
+
+        with enable_x64():
+            scores = jnp.einsum(
+                "tkgd,skd->tkgs", qg.astype(jnp.float64),
+                k.astype(jnp.float64),
+                preferred_element_type=jnp.float64,
+            ).astype(jnp.float32)
+    else:
+        scores = jnp.einsum(
+            "tkgd,skd->tkgs", qg, k, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if exact else None,
+        )
 
     scores = softcap(scores, hp.attn_soft_cap)
 
