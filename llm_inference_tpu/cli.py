@@ -35,15 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    import os
+    from .jaxenv import apply_platform_env
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # Honor JAX_PLATFORMS even on machines where a TPU PJRT plugin's
-        # registration overrides the env var: without this, JAX_PLATFORMS=cpu
-        # still initializes (and can hang on) the hardware backend.
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    apply_platform_env()
 
     from .engine import Engine, GenerationStats
     from .gguf.reader import GGUFFile

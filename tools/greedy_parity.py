@@ -22,6 +22,10 @@ from pathlib import Path
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
+from llm_inference_tpu.jaxenv import apply_platform_env
+
+apply_platform_env()
+
 ALL_MODES = ["parity", "serve", "serve-q", "serve-q4", "serve-q8"]
 
 

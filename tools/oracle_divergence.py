@@ -28,6 +28,10 @@ from pathlib import Path
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
+from llm_inference_tpu.jaxenv import apply_platform_env
+
+apply_platform_env()
+
 
 def stream(buf: bytes, isa: str, prompt_ids: list[int], steps: int,
            vocab: int):
