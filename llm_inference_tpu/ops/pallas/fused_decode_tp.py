@@ -320,7 +320,7 @@ def _make_tp_kernel(*, n, L, Hl, H, Hkv, dk, dv, D, Flp, Vl, S, TN,
                     qi = qb[i * group : (i + 1) * group, :]
                     koff = pl.multiple_of(kv * dk, dk)
                     voff = pl.multiple_of(kv * dv, dv)
-                    ki = kb[b][:, pl.ds(koff, dk)]
+                    ki = kb[b, :, pl.ds(koff, dk)]
                     s = jax.lax.dot_general(
                         qi, ki, dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -330,7 +330,7 @@ def _make_tp_kernel(*, n, L, Hl, H, Hkv, dk, dv, D, Flp, Vl, S, TN,
                     m = jnp.max(s, axis=1, keepdims=True)
                     pr = jnp.where(valid, jnp.exp(s - m), 0.0)
                     denom = jnp.sum(pr, axis=1, keepdims=True)
-                    vi = vb[b][:, pl.ds(voff, dv)]
+                    vi = vb[b, :, pl.ds(voff, dv)]
                     pv = jax.lax.dot_general(
                         pr.astype(jnp.bfloat16), vi,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -341,7 +341,7 @@ def _make_tp_kernel(*, n, L, Hl, H, Hkv, dk, dv, D, Flp, Vl, S, TN,
                 kv = (my * Hl) // group
                 koff = pl.multiple_of(kv * dk, dk)
                 voff = pl.multiple_of(kv * dv, dv)
-                ki = kb[b][:, pl.ds(koff, dk)]
+                ki = kb[b, :, pl.ds(koff, dk)]
                 s = jax.lax.dot_general(
                     qb, ki, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -351,7 +351,7 @@ def _make_tp_kernel(*, n, L, Hl, H, Hkv, dk, dv, D, Flp, Vl, S, TN,
                 m = jnp.max(s, axis=1, keepdims=True)
                 pr = jnp.where(valid, jnp.exp(s - m), 0.0)
                 denom = jnp.sum(pr, axis=1, keepdims=True)
-                vi = vb[b][:, pl.ds(voff, dv)]
+                vi = vb[b, :, pl.ds(voff, dv)]
                 pv = jax.lax.dot_general(
                     pr.astype(jnp.bfloat16), vi,
                     dimension_numbers=(((1,), (0,)), ((), ())),

@@ -1,0 +1,101 @@
+"""TP whole-step decode megakernel vs the single-chip megakernel.
+
+Runs the shard_map'd kernel (ops/pallas/fused_decode_tp.py) on the
+virtual 8-device CPU mesh under the Pallas TPU interpreter — which
+simulates the inter-chip DMAs and semaphores of the in-kernel
+all-reduces, with race detection — and checks logits + cache against the
+single-chip megakernel on identical weights."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+# interpret-mode megakernel emulation: minutes of single-core work
+pytestmark = pytest.mark.slow
+
+from llm_inference_tpu.gguf import GGUFFile
+from llm_inference_tpu.models import init_cache, load_weights
+from llm_inference_tpu.models.hparams import load_hparams
+from llm_inference_tpu.models.weights import fuse_projections, stack_layers
+from llm_inference_tpu.parallel import make_mesh
+
+from fixtures import build_gemma3_gguf
+
+VOCAB = [f"t{i}" for i in range(512)]
+
+
+@pytest.fixture(scope="module")
+def stacked():
+    buf = build_gemma3_gguf(n_layers=2, n_embd=256, n_ff=512, n_head=4,
+                            n_head_kv=1, head_dim=128, vocab=VOCAB, seed=21)
+    g = GGUFFile(buf)
+    hp = load_hparams(g.metadata)
+    _, w = load_weights(g, mode="rowq8")
+    w = fuse_projections(w)
+    w = dataclasses.replace(w, layers=stack_layers(w.layers))
+    return hp, w
+
+
+def _single_chip_steps(hp, w, tokens, positions, max_seq):
+    from llm_inference_tpu.ops.pallas.fused_decode import (
+        decode_step_megakernel,
+    )
+
+    cache = init_cache(hp, max_seq, stacked=True, dtype=jnp.bfloat16)
+    outs = []
+    for tok, pos in zip(tokens, positions):
+        logits, kc, vc = decode_step_megakernel(
+            hp, w, cache, jnp.int32(tok), jnp.int32(pos), interpret=True)
+        cache = dataclasses.replace(cache, k=kc, v=vc)
+        outs.append(np.asarray(logits))
+    return outs, cache
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_tp_megakernel_matches_single_chip(stacked, n):
+    from llm_inference_tpu.ops.pallas.fused_decode_tp import (
+        decode_step_megakernel_tp,
+        shard_rowq8_for_tp,
+        tp_megakernel_supported,
+    )
+
+    hp, w = stacked
+    assert tp_megakernel_supported(hp, w, n)
+    packed, geom = shard_rowq8_for_tp(hp, w, n)
+    mesh = make_mesh(model=n, data=1, devices=jax.devices()[:n])
+
+    max_seq = 32
+    tokens = [2, 7, 150, 511]
+    positions = [3, 4, 5, 6]
+
+    want, want_cache = _single_chip_steps(hp, w, tokens, positions, max_seq)
+
+    cache = init_cache(hp, max_seq, stacked=True, dtype=jnp.bfloat16)
+    got = []
+    for tok, pos in zip(tokens, positions):
+        logits, kc, vc = decode_step_megakernel_tp(
+            hp, packed, geom, w, cache, jnp.int32(tok), jnp.int32(pos),
+            mesh=mesh, interpret=True)
+        cache = dataclasses.replace(cache, k=kc, v=vc)
+        got.append(np.asarray(logits))
+
+    for step, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-5, atol=2e-5,
+            err_msg=f"step {step} (n={n}) logits diverge")
+    np.testing.assert_allclose(
+        np.asarray(cache.k), np.asarray(want_cache.k), rtol=1e-6, atol=1e-6)
+
+
+def test_tp_supported_gates(stacked):
+    from llm_inference_tpu.ops.pallas.fused_decode_tp import (
+        tp_megakernel_supported,
+    )
+
+    hp, w = stacked
+    assert not tp_megakernel_supported(hp, w, 1)   # TP needs n >= 2
+    assert not tp_megakernel_supported(hp, w, 3)   # heads must split
