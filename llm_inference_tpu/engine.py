@@ -89,11 +89,24 @@ class Engine:
         decode_chunk: int = DECODE_CHUNK,
         sampling: SamplingConfig | None = None,
         seed: int = 0,
+        tp_mesh=None,
     ):
+        """``tp_mesh``: a Mesh with a 'model' axis routes serve-q8 DECODE
+        through the tensor-parallel whole-step megakernel (one Pallas call
+        per chip per step, in-kernel all-reduces —
+        ops/pallas/fused_decode_tp.py). Weights are re-packed into
+        per-device shards at load; prefill runs the replicated XLA path
+        (once per request, weight-stream bound either way). Mutually
+        exclusive with ``sharding_fn`` (the per-op GSPMD TP path)."""
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
         if mode not in ("serve", "serve-q", "serve-q4", "serve-q8", "parity"):
             raise ValueError(f"unknown engine mode {mode!r}")
+        if tp_mesh is not None:
+            if sharding_fn is not None:
+                raise ValueError("tp_mesh and sharding_fn are mutually exclusive")
+            if mode != "serve-q8":
+                raise ValueError("tp_mesh requires mode='serve-q8' (rowq8 kernel)")
         self.gguf = gguf
         self.mode = mode
         exact = mode == "parity"
@@ -253,6 +266,22 @@ class Engine:
                     self.weights = stacked
                 else:
                     self._stacked = False
+        self._tp = None
+        if tp_mesh is not None:
+            from .ops.pallas.fused_decode_tp import (
+                shard_rowq8_for_tp,
+                tp_megakernel_supported,
+            )
+
+            n_tp = tp_mesh.shape["model"]
+            if not (self._stacked and not self._capacity
+                    and tp_megakernel_supported(self.hparams, self.weights, n_tp)):
+                raise ValueError(
+                    "checkpoint/geometry not eligible for the TP megakernel "
+                    "(needs stacked rowq8 layers and clean head/vocab/ffn "
+                    f"splits over {n_tp} devices)")
+            packed_tp, geom_tp = shard_rowq8_for_tp(self.hparams, self.weights, n_tp)
+            self._tp = (tp_mesh, packed_tp, geom_tp)
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq
         self.decode_chunk = decode_chunk
@@ -283,6 +312,37 @@ class Engine:
         # donate the cache: XLA aliases it in HBM instead of copying
         self._prefill = jax.jit(_prefill, donate_argnums=(1,))
         self._decode_chunk = jax.jit(_decode_chunk_fn, donate_argnums=(1,))
+
+        if self._tp is not None:
+            # TP decode: one Pallas call per chip per step with in-kernel
+            # all-reduces (ops/pallas/fused_decode_tp.py). Prefill keeps
+            # the replicated XLA path above.
+            from .models.gemma import softcap as _softcap
+            from .ops.pallas.fused_decode_tp import decode_step_megakernel_tp
+
+            mesh_tp, packed_tp, geom_tp = self._tp
+            interp = (jax.default_backend() != "tpu"
+                      and bool(os.environ.get("LLMI_FUSED_INTERPRET")))
+
+            def _decode_chunk_tp(packed, w, cache, token, pos, key):
+                def body(carry, _):
+                    cache, tok, p = carry
+                    logits, kc, vc = decode_step_megakernel_tp(
+                        hp, packed, geom_tp, w, cache, tok, p,
+                        mesh=mesh_tp, interpret=interp)
+                    logits = _softcap(logits, hp.final_logit_softcap)
+                    nxt = sample(logits, cfg, jax.random.fold_in(key, p + 1))
+                    cache = dataclasses.replace(cache, k=kc, v=vc)
+                    return (cache, nxt, p + 1), nxt
+
+                (cache, tok, p), toks = jax.lax.scan(
+                    body, (cache, token, pos), None, length=decode_chunk)
+                return toks, cache
+
+            jit_tp = jax.jit(_decode_chunk_tp, donate_argnums=(2,))
+            self._decode_chunk = (
+                lambda w, cache, token, pos, key:
+                jit_tp(packed_tp, w, cache, token, pos, key))
 
     def new_cache(self) -> KVCache:
         # serve caches are bf16 (Mosaic-native for flash decode); parity

@@ -137,10 +137,14 @@ def swa_active(hp: HParams) -> bool:
 
 
 def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams,
-                   exact: bool = True, window: Array | int = 0):
+                   exact: bool = True, window: Array | int = 0,
+                   f64_ok: bool = True):
     """QK scores + softcap + ALiBi + causal mask (reference model.cpp:501-518).
     ``window`` > 0 additionally masks keys older than q_pos - window + 1
-    (real SWA; see _swa_mask_enabled).
+    (real SWA; see _swa_mask_enabled). ``f64_ok=False`` forces the f32
+    dot even in exact mode: callers that vmap this trace must set it —
+    vmap's batching rule rebuilds the dot OUTSIDE the enable_x64 scope
+    and would silently truncate (with a UserWarning) otherwise.
 
     Returns (scores [T, Hkv, group, S] f32 with -inf at masked slots,
     valid [T, S] bool)."""
@@ -152,7 +156,7 @@ def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams,
     # HIGHEST keeps the dot true-f32 on the MXU (TPU defaults to bf16).
     qg = (f16_round(q) if exact else q.astype(jnp.float32)).reshape(T, Hkv, group, Dk)
     k = k_cache.astype(jnp.float32)
-    if exact and jax.default_backend() == "cpu" and os.environ.get(
+    if exact and f64_ok and jax.default_backend() == "cpu" and os.environ.get(
             "LLMI_EXACT_F32_SCORES", "0") != "1":
         # The reference accumulates each score in a C++ DOUBLE
         # (model.cpp:504-509). On CPU, accumulate in f64 too — removes the
@@ -201,6 +205,7 @@ def _attention(
     hp: HParams,
     exact: bool = True,
     window: Array | int = 0,
+    f64_ok: bool = True,
 ) -> Array:
     """Masked-softmax attention over the full cache (reference run_attn,
     model.cpp:478-548), f32 accumulation. Returns [T, H*Dv] f32."""
@@ -239,7 +244,7 @@ def _attention(
         return out.reshape(T, H * Dv)
 
     scores, _ = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact,
-                               window=window)
+                               window=window, f64_ok=f64_ok)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -260,6 +265,7 @@ def _attention_parity(
     hp: HParams,
     exact: bool = True,
     window: Array | int = 0,
+    f64_ok: bool = True,
 ) -> Array:
     """Reference-faithful emulation of the online-softmax attention with
     its f16 V-accumulator (reference model.cpp:501-548, vec_scale_f16 /
@@ -274,7 +280,7 @@ def _attention_parity(
     S, Hkv, Dv = v_cache.shape
     group = H // Hkv
     scores, valid = _masked_scores(q, k_cache, pos=pos, hp=hp, exact=exact,
-                                   window=window)
+                                   window=window, f64_ok=f64_ok)
 
     def step(carry, inputs):
         max_s, s_acc, v_acc = carry  # [T,Hkv,g], [T,Hkv,g], [T,Hkv,g,Dv]
@@ -341,6 +347,7 @@ def forward(
     attention_impl: Optional[str] = None,  # "fused" | "parity"; None: by ``exact``
     exact: bool = True,  # reference numeric contract vs bf16 serve mode
     mm_impl: str = "auto",  # "xla": no Pallas grids (batched serving, ops/linear.py)
+    f64_scores: bool = True,  # False when this trace is vmapped (see _masked_scores)
 ) -> tuple[Array, KVCache]:
     """One forward step over T tokens. Returns (logits [vocab] f32 for the
     last valid token, updated cache). Call with T=prompt_bucket for prefill
@@ -358,7 +365,8 @@ def forward(
     softmax."""
     if attention_impl is None:
         attention_impl = "parity" if exact else "fused"
-    attention = partial(_ATTENTION_IMPLS[attention_impl], exact=exact)
+    attention = partial(_ATTENTION_IMPLS[attention_impl], exact=exact,
+                        f64_ok=f64_scores)
     mm = partial(matmul, exact=exact, mm_impl=mm_impl)
     T = tokens.shape[0]
     n_valid = jnp.asarray(T if n_valid is None else n_valid, dtype=jnp.int32)
@@ -403,7 +411,8 @@ def forward(
                     hp, w, cache, tokens[0], pos, interpret=interpret
                 )
                 return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
-        return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact)
+        return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact,
+                             f64_scores=f64_scores)
 
     # Embedding gather + sqrt(n_embd) scale (reference model.cpp:710-712).
     x = tap("imp_embed", embed_rows(w.token_embd, tokens))  # [T, D] f32
@@ -847,6 +856,7 @@ def _forward_scan(
     n_valid: Array,
     *,
     exact: bool,
+    f64_scores: bool = True,
 ) -> tuple[Array, KVCache]:
     """Scan-over-layers forward for homogeneous stacked weights
     (models/weights.py stack_layers). One compiled layer body instead of
@@ -854,7 +864,8 @@ def _forward_scan(
     math. Requires every layer to own its KV and uniform head dims
     (layers_stackable); heterogeneous models use the unrolled path."""
     mm = partial(matmul, exact=exact)
-    attention = partial(_ATTENTION_IMPLS["parity" if exact else "fused"], exact=exact)
+    attention = partial(_ATTENTION_IMPLS["parity" if exact else "fused"],
+                        exact=exact, f64_ok=f64_scores)
     T = tokens.shape[0]
     L = hp.block_count
 

@@ -150,8 +150,12 @@ class BatchedServer:
             def body(carry, _):
                 c, tok, p = carry
                 # mm_impl="xla": a vmapped Pallas grid runs per-lane; one
-                # batched XLA GEMM is what the MXU wants (ops/linear.py)
-                logits, c = forward(hp, w, c, tok[None], p, exact=exact, mm_impl="xla")
+                # batched XLA GEMM is what the MXU wants (ops/linear.py).
+                # f64_scores=False: this trace is vmapped (parity batch
+                # lanes) and vmap's batching rule would truncate the f64
+                # QK dot outside the enable_x64 scope (models/gemma.py).
+                logits, c = forward(hp, w, c, tok[None], p, exact=exact,
+                                    mm_impl="xla", f64_scores=False)
                 nxt = jnp.argmax(logits).astype(jnp.int32)
                 return (c, nxt, p + 1), nxt
 

@@ -91,6 +91,29 @@ def test_tp_megakernel_matches_single_chip(stacked, n):
         np.asarray(cache.k), np.asarray(want_cache.k), rtol=1e-6, atol=1e-6)
 
 
+def test_engine_tp_mesh_matches_single_chip(monkeypatch):
+    """Engine(tp_mesh=...) must emit the same greedy stream as the
+    single-chip serve-q8 megakernel engine."""
+    from llm_inference_tpu.engine import Engine
+
+    buf = build_gemma3_gguf(n_layers=2, n_embd=256, n_ff=512, n_head=4,
+                            n_head_kv=1, head_dim=128, vocab=VOCAB, seed=21)
+    monkeypatch.setenv("LLMI_FUSED_INTERPRET", "1")
+    single = Engine(GGUFFile(buf), max_seq=64, mode="serve-q8", decode_chunk=4)
+    single.tokenizer.eos_id = -1
+    single.tokenizer.end_of_turn_id = -1
+    want = single.generate_from_ids([2, 7, 8], n_predict=6)
+
+    mesh = make_mesh(model=4, data=1, devices=jax.devices()[:4])
+    tp = Engine(GGUFFile(buf), max_seq=64, mode="serve-q8", decode_chunk=4,
+                tp_mesh=mesh)
+    assert tp._tp is not None
+    tp.tokenizer.eos_id = -1
+    tp.tokenizer.end_of_turn_id = -1
+    got = tp.generate_from_ids([2, 7, 8], n_predict=6)
+    assert got == want
+
+
 def test_tp_supported_gates(stacked):
     from llm_inference_tpu.ops.pallas.fused_decode_tp import (
         tp_megakernel_supported,

@@ -268,10 +268,18 @@ def main() -> int:
         "",
         "Caveat: modeled from compiled-HLO bytes, not measured on hardware "
         "(single-chip tunnel only; BENCH files carry the measured "
-        "single-chip numbers). The megakernels disable under sharding — "
-        "the TP path is the per-op W8A8 program whose single-chip overhead "
-        "vs the megakernel is visible in ROOFLINE.md; at 27B scale the "
-        "per-op weight stream dominates those overheads.",
+        "single-chip numbers).",
+        "",
+        "Two TP decode paths exist: (1) this per-op GSPMD W8A8 program — "
+        "robust, any geometry; (2) the TP whole-step megakernel "
+        "(ops/pallas/fused_decode_tp.py, Engine(tp_mesh=...)) — one Pallas "
+        "call per chip per step with the two boundary all-reduces INSIDE "
+        "the kernel as broadcast-gathers over inter-chip DMA, so the "
+        "per-op launch gaps the single-chip megakernel eliminates stay "
+        "eliminated under TP. Validated against the single-chip megakernel "
+        "on the virtual mesh via the Pallas TPU interpreter's multi-device "
+        "DMA simulation (tests/test_fused_decode_tp.py); hardware "
+        "measurement requires a multi-chip slice.",
     ]
     out = "\n".join(lines) + "\n"
     print(out)
