@@ -145,3 +145,28 @@ def test_streamed_capacity_kernel_lowers_12b_geometry():
     )
     _lower_tpu(lambda w_, c_: decode_step_megakernel_stream(
         hp, w_, c_, jnp.int32(9), jnp.int32(3)), w, cache)
+
+
+def test_flash_decode_with_starts_lowers():
+    """The SWA 'starts' lower bound (flash + paged flash) must Mosaic-lower
+    for the TPU target — the window path has only run in interpret mode."""
+    from llm_inference_tpu.ops.pallas.flash_decode import (
+        flash_decode,
+        paged_flash_decode,
+    )
+
+    B, S, H, Hkv, dk, dv, page = 2, 512, 4, 2, 128, 128, 256
+    q = jnp.zeros((B, H, dk), jnp.float32)
+    k = jnp.zeros((B, S, Hkv, dk), jnp.bfloat16)
+    v = jnp.zeros((B, S, Hkv, dv), jnp.bfloat16)
+    lengths = jnp.asarray([300, 37], jnp.int32)
+    starts = jnp.asarray([290, 0], jnp.int32)
+    _lower_tpu(lambda q_, k_, v_, l_, s_: flash_decode(q_, k_, v_, l_, s_),
+               q, k, v, lengths, starts)
+
+    nb = S // page
+    table = jnp.arange(B * nb, dtype=jnp.int32).reshape(B, nb)
+    kp = jnp.zeros((B * nb, page, Hkv, dk), jnp.bfloat16)
+    vp = jnp.zeros((B * nb, page, Hkv, dv), jnp.bfloat16)
+    _lower_tpu(lambda q_, k_, v_, t_, l_, s_: paged_flash_decode(
+        q_, k_, v_, t_, l_, s_), q, kp, vp, table, lengths, starts)
