@@ -281,13 +281,17 @@ def megakernel_stream_supported(hp, w, *, max_seq=None) -> bool:
     return _pick_tn(V, D, base) is not None
 
 
-def _tile_dot(qb, sb, ob, slot, x_bf, mask, m, t):
+def _tile_dot(qb, sb, ob, slot, xm_full, m, t):
     """One [1, TR] output slice: masked group-partial dots over the tile's
-    contraction blocks with exact f32 scales (fused_decode_q._qdot, tiled)."""
+    contraction blocks with exact f32 scales (fused_decode_q._qdot, tiled).
+    ``xm_full`` is the pre-broadcast masked A-operand [Mp, C] — built ONCE
+    per part at lane offset 0 (Mosaic can't broadcast lane-offset slices;
+    a per-block [1, BC] * [Mp, BC] broadcast at b > 0 fails real Mosaic
+    compilation with 'Invalid input layout', caught on hardware Aug 18)."""
     BC, nblk, Mp = m["bc"], m["nblk"], m["mp"]
     acc = None
     for b in range(nblk):
-        xm = x_bf[:, b * BC : (b + 1) * BC] * mask[:, b * BC : (b + 1) * BC]
+        xm = xm_full[:, b * BC : (b + 1) * BC]
         if m["packed"]:
             h = BC // 2
             p32 = qb[slot, b * h : (b + 1) * h, :].astype(jnp.int32) & 0xFF
@@ -399,12 +403,13 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             ``tail(t)`` runs after each tile's compute (successor issues)."""
             m = plans[i]
             qb_, sb_, ob_, out_, mask_ = wbufs[i]
+            xm_full = x_bf * mask_[:]  # [Mp, C], offset-0 broadcast, once/part
             for t in range(m["nt"]):
                 slot = t % 2
                 for c in tile_copies(i, l, t, slot):
                     c.wait()
                 out_[:, t * m["TR"] : (t + 1) * m["TR"]] = _tile_dot(
-                    qb_, sb_, ob_, slot, x_bf, mask_[:], m, t)
+                    qb_, sb_, ob_, slot, xm_full, m, t)
                 if t + 2 < m["nt"]:
                     for c in tile_copies(i, l, t + 2, slot):
                         c.start()

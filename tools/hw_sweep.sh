@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Hardware validation sweep (VERDICT round-2 item 1: the TPU-return checklist).
+# Runs every bench configuration sequentially on the real TPU and appends the
+# JSON lines to $OUT. Each step has its own timeout and failures don't stop
+# the sweep. Run ALONE — concurrent CPU load starves the host side of the
+# tunnel and corrupts the timing.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${OUT:-/tmp/hw_sweep_r03.jsonl}
+LOG=${LOG:-/tmp/hw_sweep_r03.log}
+: > "$LOG"
+
+run() { # run <tag> <timeout_s> <env...> -- cmd...
+  local tag=$1 to=$2; shift 2
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  echo "=== $tag ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
+  local line
+  line=$(env "${envs[@]}" timeout "$to" "$@" 2>>"$LOG")
+  local rc=$?
+  echo "$line" >> "$LOG"
+  if [ $rc -eq 0 ] && [ -n "$line" ]; then
+    echo "{\"tag\": \"$tag\", \"result\": $(echo "$line" | tail -1)}" >> "$OUT"
+    echo "$tag OK: $(echo "$line" | tail -1)"
+  else
+    echo "{\"tag\": \"$tag\", \"error\": \"rc=$rc\"}" >> "$OUT"
+    echo "$tag FAILED rc=$rc (see $LOG)"
+  fi
+}
+
+if [ "${SKIP_Q8:-0}" != "1" ]; then
+  run serve-q8    900 LLMI_BENCH_MODE=serve-q8 -- python bench.py
+fi
+run serve-q       900 LLMI_BENCH_MODE=serve-q  -- python bench.py
+run serve-q4      900 LLMI_BENCH_MODE=serve-q4 -- python bench.py
+run serve-q4-capacity 900 LLMI_BENCH_MODE=serve-q4 LLMI_FORCE_CAPACITY=1 -- python bench.py
+run batch8        900 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=8  -- python bench.py
+run batch16       900 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=16 -- python bench.py
+run batch32       1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 -- python bench.py
+run batch32-perop 1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 LLMI_NO_FUSED_DECODE=1 -- python bench.py
+run batch32-paged-4k 1500 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 LLMI_BENCH_PAGED=96 LLMI_BENCH_MAX_SEQ=4096 -- python bench.py
+echo "sweep done -> $OUT"
