@@ -156,9 +156,12 @@ def _qdot(qref, sref, offref, bsel, x_bf, *, gs, geom, packed=False,
           centered=False):
     """[1, C] bf16 x transposed quant block buffers -> [1, R] f32 with
     exact f32 group scales (see module docstring). ``packed``: qref holds
-    block-paired nibbles (TQ4Tensor) unpacked here on the VPU — ~20%
-    extra compute for half the HBM/VMEM bytes (tools/probe_q4 measured
-    39 vs 32 us on the gate_up geometry)."""
+    block-paired SIGN-HI nibbles (TQ4Tensor): lo = B & 0x0F is the raw
+    low quant, hi = B & 0xF0 is exactly 16*(n_hi - 8) as int8 — the only
+    unpack ops are two int8 ANDs feeding mixed bf16xint8 half-dots
+    (Mosaic legalizes no sub-32-bit vector shifts; the /16 and +8 rebias
+    live in the folded scales/offsets, quant/device.py). 1.65x the
+    int32-widening unpack on the gate_up geometry (tools/probe_q4_unpack)."""
     BG, BC, nblk, Mp = geom
     C = x_bf.shape[1]
     # The group-local mask pattern is periodic in BC, so ONE offset-0
@@ -170,33 +173,50 @@ def _qdot(qref, sref, offref, bsel, x_bf, *, gs, geom, packed=False,
     # padding rows m >= BG come out all-zero
     m = jnp.maximum(0, 1 - jnp.abs((lane % BC) // gs - sub)).astype(jnp.bfloat16)
     xm_full = x_bf * m  # [Mp, C]
+    if packed and centered:
+        # Q4_0's implicit off = 8*s applies to the LOW-nibble groups
+        # (block rows m < BG/2); the high groups' rebias cancelled into
+        # the folded scales. 0/1 sublane mask, arithmetic form.
+        sub1 = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+        lom8 = 8.0 * jnp.maximum(
+            0, jnp.minimum(1, BG // 2 - sub1)).astype(jnp.float32)
     acc = None
     for b in range(nblk):
         xm = xm_full[:, b * BC : (b + 1) * BC]
+        sblk = sref[bsel, b * Mp : (b + 1) * Mp, :]
         if packed:
             h = BC // 2
-            p32 = qref[bsel, b * h : (b + 1) * h, :].astype(jnp.int32) & 0xFF
-            lo = (p32 & 0xF).astype(jnp.bfloat16)
-            hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
-            if centered:
-                lo = lo - 8.0
-                hi = hi - 8.0
-            wb = jnp.concatenate([lo, hi], axis=0)  # [BC, R] bf16
+            blk = qref[bsel, b * h : (b + 1) * h, :]
+            lo = blk & jnp.int8(0x0F)
+            hi = blk & jnp.int8(~0x0F)
+            pb = jax.lax.dot_general(
+                xm[:, :h], lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pb = pb + jax.lax.dot_general(
+                xm[:, h:], hi,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Mp, R]
         else:
             wb = qref[bsel, b * BC : (b + 1) * BC, :]
-        pb = jax.lax.dot_general(
-            xm, wb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Mp, R]
-        part = jnp.sum(sref[bsel, b * Mp : (b + 1) * Mp, :] * pb,
-                       axis=0, keepdims=True)
+            pb = jax.lax.dot_general(
+                xm, wb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Mp, R]
+        part = jnp.sum(sblk * pb, axis=0, keepdims=True)
         if offref is not None:
-            # Q4_K min term: y[r] -= sum_g off[g, r] * sum_{c in g} x[c]
+            # offset term: y[r] -= sum_g off[g, r] * sum_{c in g} x[c]
+            # (Q4_K mins; sign-hi folding already adjusted the hi rows)
             xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)  # [Mp, 1]
             part = part - jnp.sum(
                 offref[bsel, b * Mp : (b + 1) * Mp, :] * xg, axis=0, keepdims=True
             )
+        elif packed and centered:
+            xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+            part = part - jnp.sum(lom8 * sblk * xg, axis=0, keepdims=True)
         acc = part if acc is None else acc + part
     return acc
 

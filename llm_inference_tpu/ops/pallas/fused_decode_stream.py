@@ -289,32 +289,49 @@ def _tile_dot(qb, sb, ob, slot, xm_full, m, t):
     a per-block [1, BC] * [Mp, BC] broadcast at b > 0 fails real Mosaic
     compilation with 'Invalid input layout', caught on hardware Aug 18)."""
     BC, nblk, Mp = m["bc"], m["nblk"], m["mp"]
+    if m["packed"] and m["centered"]:
+        # Q4_0's implicit off = 8*s on the LOW-nibble groups (sign-hi
+        # encoding, fused_decode_q._qdot)
+        sub1 = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+        lom8 = 8.0 * jnp.maximum(
+            0, jnp.minimum(1, m["bg"] // 2 - sub1)).astype(jnp.float32)
     acc = None
     for b in range(nblk):
         xm = xm_full[:, b * BC : (b + 1) * BC]
+        sblk = sb[slot, b * Mp : (b + 1) * Mp, :]
         if m["packed"]:
+            # sign-hi nibble unpack: two int8 ANDs + two mixed half-dots
+            # (quant/device.py TQ4Tensor; scales/offsets pre-folded)
             h = BC // 2
-            p32 = qb[slot, b * h : (b + 1) * h, :].astype(jnp.int32) & 0xFF
-            lo = (p32 & 0xF).astype(jnp.bfloat16)
-            hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
-            if m["centered"]:
-                lo = lo - 8.0
-                hi = hi - 8.0
-            wb = jnp.concatenate([lo, hi], axis=0)  # [BC, TR]
+            blk = qb[slot, b * h : (b + 1) * h, :]
+            lo = blk & jnp.int8(0x0F)
+            hi = blk & jnp.int8(~0x0F)
+            pb = jax.lax.dot_general(
+                xm[:, :h], lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pb = pb + jax.lax.dot_general(
+                xm[:, h:], hi,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Mp, TR]
         else:
             wb = qb[slot, b * BC : (b + 1) * BC, :]
-        pb = jax.lax.dot_general(
-            xm, wb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Mp, TR]
-        part = jnp.sum(sb[slot, b * Mp : (b + 1) * Mp, :] * pb,
-                       axis=0, keepdims=True)
+            pb = jax.lax.dot_general(
+                xm, wb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Mp, TR]
+        part = jnp.sum(sblk * pb, axis=0, keepdims=True)
         if ob is not None:
             xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
             part = part - jnp.sum(
                 ob[slot, b * Mp : (b + 1) * Mp, :] * xg, axis=0, keepdims=True
             )
+        elif m["packed"] and m["centered"]:
+            xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
+            part = part - jnp.sum(lom8 * sblk * xg, axis=0, keepdims=True)
         acc = part if acc is None else acc + part
     return acc
 

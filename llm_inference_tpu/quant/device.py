@@ -488,8 +488,25 @@ class TQ4Tensor:
     contiguous slice: within block b (rows [b*BC, (b+1)*BC) of the
     transposed [cols, rows] layout, BC = bg*group_size), row j < BC/2
     holds the LOW nibble and row j + BC/2 the HIGH nibble of
-    ``packedT[b*BC/2 + j]``. ``centered``: quants stored as q+8 with
-    value (q-8)*scale (Q4_0); else q*scale - offset (Q4_K)."""
+    ``packedT[b*BC/2 + j]``.
+
+    SIGN-HI ("E") encoding — chosen so the in-kernel unpack needs ONLY
+    int8 ANDs (Mosaic legalizes no sub-32-bit vector shifts/subs;
+    tools/probe_q4_unpack.py measured the AND-only unpack at 1.65x the
+    int32-widening one):
+
+      - low nibble stores the RAW quant n_lo (0..15); ``B & 0x0F``
+        recovers it, and its centering/offset rides the offset term;
+      - high nibble stores ``n_hi ^ 8`` so ``B & 0xF0`` IS the int8 value
+        ``16*(n_hi - 8)`` exactly — the /16 and the +8 rebias are folded
+        into the stored scales/offsets below.
+
+    Scale/offset folding (``sT``/``offT`` are NOT the plain per-group
+    values): within each block, rows m < bg/2 (low-nibble groups) hold
+    ``s`` and ``off``; rows m >= bg/2 (high-nibble groups) hold ``s/16``
+    and ``off - 8*s``. ``centered`` (Q4_0, offT None): the kernel applies
+    the low groups' implicit ``off = 8*s`` via a sublane mask; the high
+    groups need no term (8s - 8s = 0)."""
 
     packedT: Array  # int8 [..., cols//2, rows]
     sT: Array  # f32 [..., n_blocks*mp, rows] (TQuantTensor layout)
@@ -515,39 +532,82 @@ class TQ4Tensor:
         return self.cols // (self.bg * self.group_size)
 
     def _unpacked_qT(self) -> Array:
-        """[..., cols, rows] int32 logical transposed quants."""
+        """[..., cols, rows] int32 logical transposed RAW quants (0..15;
+        undoes the sign-hi XOR)."""
         lead = self.packedT.shape[:-2]
         bc = self.bg * self.group_size
         h = bc // 2
         p = self.packedT.reshape(lead + (self.n_blocks, h, self.rows))
         p32 = p.astype(jnp.int32) & 0xFF
         lo = p32 & 0xF
-        hi = (p32 >> 4) & 0xF
+        hi = ((p32 >> 4) & 0xF) ^ 8  # sign-hi encoding
         q = jnp.concatenate([lo, hi], axis=-2)  # [..., nblk, bc, rows]
         if self.centered:
             q = q - 8
         return q.reshape(lead + (self.cols, self.rows))
 
-    def _scale_rg(self, t: Array) -> Array:
-        lead = t.shape[:-2]
-        tb = t.reshape(lead + (self.n_blocks, self.mp, self.rows))
-        tb = tb[..., : self.bg, :]
-        s = tb.reshape(lead + (self.groups, self.rows))
-        return jnp.swapaxes(s, -1, -2)
+    def _true_scale_off(self) -> tuple[Array, Optional[Array]]:
+        """Undo the sign-hi folding: plain per-group [..., rows, groups]
+        scales (and offsets, when present)."""
+        lead = self.sT.shape[:-2]
+        hg = self.bg // 2
+
+        def blocks(t):
+            tb = t.reshape(lead + (self.n_blocks, self.mp, self.rows))
+            return tb[..., : self.bg, :]
+
+        sb = blocks(self.sT)
+        s_true = sb.at[..., hg :, :].multiply(16.0)
+        ob = None
+        if self.offT is not None:
+            ob = blocks(self.offT)
+            ob = ob.at[..., hg :, :].add(8.0 * s_true[..., hg :, :])
+
+        def rg(tb):
+            s = tb.reshape(lead + (self.groups, self.rows))
+            return jnp.swapaxes(s, -1, -2)
+
+        return rg(s_true), None if ob is None else rg(ob)
 
     def dequant(self, dtype=jnp.float32) -> Array:
         q = jnp.swapaxes(self._unpacked_qT(), -1, -2).astype(jnp.float32)
         lead = q.shape[:-2]
         qg = q.reshape(lead + (self.rows, self.groups, self.group_size))
-        w = qg * self._scale_rg(self.sT)[..., None]
-        if self.offT is not None:
-            w = w - self._scale_rg(self.offT)[..., None]
+        s_rg, off_rg = self._true_scale_off()
+        w = qg * s_rg[..., None]
+        if off_rg is not None:
+            w = w - off_rg[..., None]
         return w.reshape(lead + (self.rows, self.cols)).astype(dtype)
 
 
+def _fold_scales_signhi(sT, offT, *, nblk, bg, mp, xp=jnp):
+    """Sign-hi scale/offset folding (TQ4Tensor docstring): high-nibble
+    group rows get s/16 and off - 8*s. Works on jnp or np arrays."""
+    lead = sT.shape[:-2]
+    R = sT.shape[-1]
+    hg = bg // 2
+    sb = xp.asarray(sT, dtype=xp.float32).reshape(lead + (nblk, mp, R))
+    ob = None
+    if offT is not None:
+        ob = xp.asarray(offT, dtype=xp.float32).reshape(lead + (nblk, mp, R))
+        if xp is jnp:
+            ob = ob.at[..., hg:bg, :].add(-8.0 * sb[..., hg:bg, :])
+        else:
+            ob = ob.copy()
+            ob[..., hg:bg, :] -= 8.0 * sb[..., hg:bg, :]
+        ob = ob.reshape(lead + (nblk * mp, R))
+    if xp is jnp:
+        sb = sb.at[..., hg:bg, :].multiply(1.0 / 16.0)
+    else:
+        sb = sb.copy()
+        sb[..., hg:bg, :] *= 1.0 / 16.0
+    return sb.reshape(lead + (nblk * mp, R)), ob
+
+
 def pack_maskdot_q4(t: TQuantTensor) -> Optional[TQ4Tensor]:
-    """Block-paired nibble packing of a 4-bit TQuantTensor (lossless).
-    None when the format's quants don't span 4 bits or BC is odd."""
+    """Block-paired nibble packing of a 4-bit TQuantTensor (lossless,
+    sign-hi encoding — see TQ4Tensor). None when the format's quants
+    don't span 4 bits or BC is odd."""
     if t.fmt not in (GGMLType.Q4_0, GGMLType.Q4_K):
         return None
     bc = t.bg * t.group_size
@@ -561,13 +621,15 @@ def pack_maskdot_q4(t: TQuantTensor) -> Optional[TQ4Tensor]:
     qb = q.reshape(lead + (t.n_blocks, bc, t.rows))
     h = bc // 2
     lo = qb[..., :h, :]
-    hi = qb[..., h:, :]
+    hi = qb[..., h:, :] ^ 8  # sign-hi
     p = lo | (hi << 4)
     p8 = ((p + 128) % 256 - 128).astype(jnp.int8)
+    sT_f, offT_f = _fold_scales_signhi(t.sT, t.offT, nblk=t.n_blocks,
+                                       bg=t.bg, mp=t.mp)
     return TQ4Tensor(
         packedT=jax.device_put(p8.reshape(lead + (t.cols // 2, t.rows))),
-        sT=t.sT,
-        offT=t.offT,
+        sT=jax.device_put(sT_f),
+        offT=None if offT_f is None else jax.device_put(offT_f),
         fmt=t.fmt,
         rows=t.rows,
         cols=t.cols,
@@ -724,14 +786,19 @@ def maskdot_host_parts(
         fmt=fmt, gs=gs, bg=bg, mp=mp, centered=False,
     )
     if q4 and fmt in (GGMLType.Q4_0, GGMLType.Q4_K) and bc % 2 == 0:
-        # block-paired nibble packing (TQ4Tensor contract): within block b,
-        # transposed row j < bc/2 is the LOW nibble, j + bc/2 the HIGH one
+        # block-paired nibble packing (TQ4Tensor contract, sign-hi
+        # encoding): within block b, transposed row j < bc/2 is the LOW
+        # nibble, j + bc/2 the HIGH one XORed with 8; scales/offsets of
+        # the high-nibble groups are folded (s/16, off - 8s)
         centered = fmt == GGMLType.Q4_0
         u = (qT + 8 if centered else qT).astype(np.uint8)
         ub = u.reshape(nblk, bc, rows)
         h = bc // 2
-        packed = (ub[:, :h, :] | (ub[:, h:, :] << 4)).astype(np.uint8)
+        packed = (ub[:, :h, :] | ((ub[:, h:, :] ^ 8) << 4)).astype(np.uint8)
         out["packedT"] = packed.view(np.int8).reshape(cols // 2, rows)
         out["qT"] = None
         out["centered"] = centered
+        out["sT"], offT_f = _fold_scales_signhi(
+            out["sT"], out["offT"], nblk=nblk, bg=bg, mp=mp, xp=np)
+        out["offT"] = offT_f
     return out
