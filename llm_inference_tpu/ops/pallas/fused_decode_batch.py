@@ -20,10 +20,18 @@ Differences from the single-stream kernel (fused_decode.py):
   - rope tables, KV row insert/writeback, and masked-softmax attention
     are per-lane (pos differs per request) — unrolled over the static B;
   - parked lanes (serving slots with no live request) pass pos >= S; the
-    wrapper clamps to S-1 so the row insert stays in bounds. The clamped
-    row is garbage but harmless: a re-admitted slot's prefill overwrites
-    rows [0, plen) and the causal mask hides the tail until the cursor
-    reaches it, at which point that step's own row write replaces it.
+    wrapper clamps them to row 0. The clamped row write is garbage but
+    harmless: a re-admitted slot's prefill overwrites rows [0, plen),
+    row 0 included. Clamping low (not to S-1) also keeps parked lanes
+    out of the cache-DMA prefix bound below.
+  - cache DMA is PREFIX-BOUNDED: each slab copy is split into 4 row
+    chunks and only ceil((max(pos)+16)/chunk) of them move per layer
+    (scalar-prefetched bound). At batch 32 x 1k the full slab is
+    ~870 MB/step against ~1 GB of weights, so early-fill steps roughly
+    halve their HBM traffic. Un-copied VMEM tail chunks hold garbage;
+    the causal mask -inf's them out of QK, and the PV dot accumulates
+    per chunk behind a scalar select so even NaN bit patterns there
+    cannot reach live lanes.
   - logits are [B, V], tiled over the tied embedding exactly as the
     single-stream tail.
 
@@ -128,7 +136,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             idx += 1
             return r
 
-        token_r, pos_r, base_idx_r = nxt(), nxt(), nxt()
+        token_r, pos_r, nch_r, base_idx_r = nxt(), nxt(), nxt(), nxt()
         cos_r, sin_r = nxt(), nxt()
         an_r, fn_r, qn_r, kn_r, on_r = nxt(), nxt(), nxt(), nxt(), nxt()
         pan_r = nxt() if has_pa else None
@@ -153,11 +161,52 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 pltpu.make_async_copy(wd_s.at[l], wd_sb.at[b], wsem.at[b, 7]),
             ]
 
-        def kv_copies(l, s_):
-            return [
-                pltpu.make_async_copy(kc.at[l], kb.at[s_], kvsem.at[s_, 0]),
-                pltpu.make_async_copy(vc.at[l], vb.at[s_], kvsem.at[s_, 1]),
-            ]
+        # Prefix-bounded cache DMA: the slab copy is split into NKV
+        # fixed-size row chunks and only the first nch (covering
+        # max(pos)+16 rows, computed by the wrapper) are moved. At
+        # batch 32 the full [B, S, H] slab rivals the weight stream in
+        # bytes, so skipping the unfilled tail is a first-order win.
+        # Chunks >= nch leave VMEM garbage; attention guards every read
+        # of that region (causal mask for QK, scalar-predicated select
+        # for PV), so arbitrary bits -- NaN included -- cannot leak in.
+        NKV = 4 if S % 64 == 0 else 1
+        KVC = S // NKV
+
+        def kv_chunks(l, s_):
+            out = []
+            for c in range(NKV):
+                sl = pl.ds(c * KVC, KVC)
+                out.append((c, [
+                    pltpu.make_async_copy(kc.at[l, :, sl, :],
+                                          kb.at[s_, :, sl, :],
+                                          kvsem.at[s_, 0]),
+                    pltpu.make_async_copy(vc.at[l, :, sl, :],
+                                          vb.at[s_, :, sl, :],
+                                          kvsem.at[s_, 1]),
+                ]))
+            return out
+
+        def kv_start(l, s_):
+            for c, copies in kv_chunks(l, s_):
+                if c == 0:
+                    for cp in copies:
+                        cp.start()
+                else:
+                    @pl.when(c < nch_r[0])
+                    def _(copies=copies):
+                        for cp in copies:
+                            cp.start()
+
+        def kv_wait(l, s_):
+            for c, copies in kv_chunks(l, s_):
+                if c == 0:
+                    for cp in copies:
+                        cp.wait()
+                else:
+                    @pl.when(c < nch_r[0])
+                    def _(copies=copies):
+                        for cp in copies:
+                            cp.wait()
 
         # B embedding row windows (int8 HBM is (32, 128)-tiled) + the
         # lane-major scale windows, one DMA pair per lane
@@ -178,8 +227,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             e1.start()
         for c in layer_copies(0, 0):
             c.start()
-        for c in kv_copies(0, 0):
-            c.start()
+        kv_start(0, 0)
         for bi_ in range(B):
             e0, e1 = ecopies[bi_]
             e0.wait()
@@ -204,8 +252,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                     c.start()
                 if kv_slots == 2:
                     # cache copies ride the weight prefetch (parity slots)
-                    for c in kv_copies(l + 1, 1 - b):
-                        c.start()
+                    kv_start(l + 1, 1 - b)
 
             for c in layer_copies(l, b):
                 c.wait()
@@ -217,8 +264,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             # single-slab mode: layer l's cache copy was issued after the
             # PREVIOUS layer's attention (prologue for l=0) — wait here,
             # as late as the lane loop allows
-            for c in kv_copies(l, skv):
-                c.wait()
+            kv_wait(l, skv)
 
             bi = base_idx_r[l]
             attn_rows = []
@@ -276,11 +322,27 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                     pr = jnp.where(valid, jnp.exp(s - m), 0.0)
                     denom = jnp.sum(pr, axis=1, keepdims=True)
                     vi = vb[skv, bl][:, i * dv : (i + 1) * dv]
-                    pv = jax.lax.dot_general(
-                        pr.astype(jnp.bfloat16), vi,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                    if NKV == 1:
+                        pv = jax.lax.dot_general(
+                            pr.astype(jnp.bfloat16), vi,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:
+                        # PV per cache chunk, scalar-predicated: chunks
+                        # >= nch hold un-DMA'd garbage whose NaNs would
+                        # survive pr == 0 through the dot; select drops
+                        # them bitwise instead
+                        pv = jnp.zeros((group, dv), dtype=jnp.float32)
+                        for cci in range(NKV):
+                            pvc = jax.lax.dot_general(
+                                pr[:, cci * KVC : (cci + 1) * KVC].astype(
+                                    jnp.bfloat16),
+                                vi[cci * KVC : (cci + 1) * KVC, :],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            pv = pv + jnp.where(cci < nch_r[0], pvc, 0.0)
                     outs.append(pv / denom)
                 attn = outs[0] if Hkv == 1 else jnp.concatenate(outs, axis=0)
                 attn_rows.append(attn.reshape(1, H * dv))
@@ -294,8 +356,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 # weight stream
                 @pl.when(l + 1 < L)
                 def _():
-                    for c in kv_copies(l + 1, 0):
-                        c.start()
+                    kv_start(l + 1, 0)
 
             y = _mixed_dot(attn_flat, wo_b[b]) * wo_sb[b]
             if has_pa:
@@ -401,7 +462,7 @@ def _make_kernel(*, B, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                      "has_pa", "has_pf", "greedy", "interpret"),
 )
 def _run_step(
-    tokens, pos, base_idx, cos, sin, an, fn_, qn, kn, on, pan, pfn,
+    tokens, pos, nch, base_idx, cos, sin, an, fn_, qn, kn, on, pan, pfn,
     wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s, emb_q, emb_s, kc, vc,
     *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
     greedy=False, interpret=False,
@@ -422,8 +483,9 @@ def _run_step(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pl.ANY)
 
-    in_specs = [smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem]
-    args = [tokens, pos, base_idx, cos, sin, an, fn_, qn, kn, on]
+    in_specs = [smem, smem, smem, smem,
+                vmem, vmem, vmem, vmem, vmem, vmem, vmem]
+    args = [tokens, pos, nch, base_idx, cos, sin, an, fn_, qn, kn, on]
     if has_pa:
         in_specs.append(vmem)
         args.append(pan)
@@ -520,7 +582,19 @@ def decode_step_megakernel_batch(hp, w, cache, tokens, pos, *,
     half = dk // 2
     S = cache.k.shape[2]
 
-    pos = jnp.minimum(jnp.asarray(pos, dtype=jnp.int32), S - 1)
+    pos = jnp.asarray(pos, dtype=jnp.int32)
+    # parked lanes (pos >= S) clamp to row 0: a re-admitted slot's
+    # prefill always rewrites row 0, and row 0 is inside the first
+    # cache-DMA chunk so parked lanes never inflate the prefix bound
+    # or read un-copied garbage
+    pos = jnp.where(pos >= S, 0, pos)
+    # cache-DMA prefix bound: chunks of S/4 rows (S % 64 == 0) covering
+    # max(pos) + 16 rows — the aligned insert window reads 16 rows
+    # around each lane's cursor
+    nkv = 4 if S % 64 == 0 else 1
+    kvc = S // nkv
+    nch = jnp.clip((jnp.max(pos) + 16 + kvc - 1) // kvc, 1, nkv)
+    nch = nch.astype(jnp.int32).reshape(1)
     # per-lane rope rows, flattened [B * n_bases, half] (kernel indexes
     # row bl * n_bases + base_idx[l])
     base_idx, cos, sin = _rope_tables(hp, L, pos)
@@ -530,7 +604,7 @@ def decode_step_megakernel_batch(hp, w, cache, tokens, pos, *,
     has_pf = lw.post_ffw_norm is not None
     out, kc, vc = _run_step(
         jnp.asarray(tokens, dtype=jnp.int32),
-        pos,
+        pos, nch,
         base_idx, cos, sin,
         lw.attn_norm.astype(f32), lw.ffn_norm.astype(f32),
         lw.q_norm.astype(f32), lw.k_norm.astype(f32),

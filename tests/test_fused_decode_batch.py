@@ -189,11 +189,44 @@ def test_batched_megakernel_parked_lane(fused_env):
     l_park, kc, vc = decode_step_megakernel_batch(
         hp, w_stacked, cache_fus, toks, p_park, interpret=True)
     np.testing.assert_array_equal(np.asarray(l_park[0]), np.asarray(l_live[0]))
-    # the parked lane's clamped write touches only the last 16-row window;
-    # every row below it keeps the original cache contents
+    # the parked lane clamps to row 0: only row 0 changes (the rest of
+    # its aligned window is written back with the DMA'd originals), and
+    # a re-admitted slot's prefill always rewrites row 0
     orig = np.asarray(jnp.stack(cache_ref.k), np.float32)
     got = np.asarray(kc, np.float32)
-    np.testing.assert_array_equal(got[:, 1, : S - 16], orig[:, 1, : S - 16])
+    np.testing.assert_array_equal(got[:, 1, 1:], orig[:, 1, 1:])
+
+
+def test_batched_megakernel_prefix_chunk_bound(fused_env):
+    """Ragged lanes spanning cache-DMA chunk boundaries (S=64 -> 16-row
+    chunks): a lane near S forces the full prefix while small-pos lanes
+    ride along; logits must match the per-op batched path for every
+    lane."""
+    hp, w = _model()
+    w_stacked = dataclasses.replace(w, layers=stack_layers(w.layers))
+
+    rng = np.random.default_rng(7)
+    prompts = [
+        rng.integers(4, 250, size=50).tolist(),   # nch = 4 (full prefix)
+        [2, 9],                                    # rides in chunk 0
+        rng.integers(4, 250, size=17).tolist(),    # crosses chunk 0/1 edge
+    ]
+    prompts[0][0] = prompts[2][0] = 2
+    cache_ref, pos = _prefill_lanes(hp, w, prompts)
+    cache_fus = KVCache(k=jnp.stack(cache_ref.k), v=jnp.stack(cache_ref.v))
+
+    fwd_ref = jax.jit(partial(forward_batched_decode, hp))
+    toks = jnp.asarray([9, 12, 14], jnp.int32)
+    p = jnp.asarray(pos, jnp.int32)
+    l_ref, _ = fwd_ref(w, cache_ref, toks, p)
+    l_fus, _, _ = decode_step_megakernel_batch(
+        hp, w_stacked, cache_fus, toks, p, interpret=True)
+    l_ref, l_fus = np.asarray(l_ref), np.asarray(l_fus)
+    for b in range(3):
+        scale = max(1.0, np.abs(l_ref[b]).max())
+        np.testing.assert_allclose(l_fus[b], l_ref[b], atol=1.5e-2 * scale,
+                                   err_msg=f"lane {b}")
+        assert l_ref[b].argmax() == l_fus[b].argmax(), b
 
 
 def test_batched_server_megakernel_token_parity(fused_env, monkeypatch, tmp_path):
