@@ -126,6 +126,20 @@ def _swa_mask_enabled() -> bool:
     return os.environ.get("LLMI_SWA_MASK", "0") == "1"
 
 
+def _inplace_insert_enabled() -> bool:
+    """Batched/paged KV row writes go through the aliased Pallas DMA
+    kernel (ops/pallas/kv_insert.py) instead of an XLA scatter: the
+    scatter's TPU lowering copies the entire cache/pool per layer
+    (measured ~9.1 ms/step at batch 32 x 4k paged). On by default on
+    TPU; on CPU the kernel runs in interpret mode, so tests opt in via
+    LLMI_FUSED_INTERPRET=1 and everything else keeps the scatter.
+    LLMI_NO_INPLACE_INSERT=1 forces the scatter everywhere."""
+    if os.environ.get("LLMI_NO_INPLACE_INSERT", "0") == "1":
+        return False
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("LLMI_FUSED_INTERPRET", "0") == "1")
+
+
 def swa_active(hp: HParams) -> bool:
     """True when real windowing is both requested (LLMI_SWA_MASK=1) and
     applicable (the checkpoint records a window size and has SWA layers).
@@ -634,11 +648,30 @@ def forward_batched_decode(
             v = v_flat.reshape(B, hp.n_head_kv, dv)
             if hp.architecture == "gemma4":
                 v = rms_norm(v, hp.rms_eps)
-            # per-lane scatter at (b, pos[b]); parked lanes (pos >= S) drop
-            new_k[src] = new_k[src].at[lanes, pos].set(
-                k.astype(new_k[src].dtype), mode="drop")
-            new_v[src] = new_v[src].at[lanes, pos].set(
-                v.astype(new_v[src].dtype), mode="drop")
+            # per-lane row insert at (b, pos[b]); parked lanes (pos >= S)
+            # drop. On TPU the XLA scatter is NOT in place (it copies the
+            # whole [B, S, Hkv, d] cache per layer); use the aliased
+            # Pallas row-DMA kernel instead (ops/pallas/kv_insert.py)
+            if _inplace_insert_enabled():
+                from ..ops.pallas.kv_insert import insert_rows
+
+                S_src = new_k[src].shape[1]
+                rows_total = B * S_src
+                idx = jnp.where(pos < S_src, lanes * S_src + pos, rows_total)
+                interp = jax.default_backend() != "tpu"
+                new_k[src] = insert_rows(
+                    new_k[src].reshape((rows_total,) + new_k[src].shape[2:]),
+                    k.astype(new_k[src].dtype), idx,
+                    interpret=interp).reshape(new_k[src].shape)
+                new_v[src] = insert_rows(
+                    new_v[src].reshape((rows_total,) + new_v[src].shape[2:]),
+                    v.astype(new_v[src].dtype), idx,
+                    interpret=interp).reshape(new_v[src].shape)
+            else:
+                new_k[src] = new_k[src].at[lanes, pos].set(
+                    k.astype(new_k[src].dtype), mode="drop")
+                new_v[src] = new_v[src].at[lanes, pos].set(
+                    v.astype(new_v[src].dtype), mode="drop")
 
         S = new_k[src].shape[1]
         lengths = jnp.where(pos >= S, 0, pos + 1)
@@ -789,11 +822,30 @@ def forward_batched_decode_paged(
             v = v_flat.reshape(B, hp.n_head_kv, dv)
             if hp.architecture == "gemma4":
                 v = rms_norm(v, hp.rms_eps)
-            # per-lane scatter at (page_of[b], off[b]); parked lanes drop
-            new_k[src] = new_k[src].at[page_of_i, off].set(
-                k.astype(new_k[src].dtype), mode="drop")
-            new_v[src] = new_v[src].at[page_of_i, off].set(
-                v.astype(new_v[src].dtype), mode="drop")
+            # per-lane row insert at (page_of[b], off[b]); parked lanes
+            # drop. Same scatter-copies-the-pool problem as the dense
+            # path: measured 9.1 ms/step of pool copies at batch 32 x 4k
+            # before the in-place kernel
+            if _inplace_insert_enabled():
+                from ..ops.pallas.kv_insert import insert_rows
+
+                pool_rows_i = new_k[src].shape[0] * page
+                idx = jnp.where(page_of_i < new_k[src].shape[0],
+                                page_of_i * page + off, pool_rows_i)
+                interp = jax.default_backend() != "tpu"
+                new_k[src] = insert_rows(
+                    new_k[src].reshape((pool_rows_i,) + new_k[src].shape[2:]),
+                    k.astype(new_k[src].dtype), idx,
+                    interpret=interp).reshape(new_k[src].shape)
+                new_v[src] = insert_rows(
+                    new_v[src].reshape((pool_rows_i,) + new_v[src].shape[2:]),
+                    v.astype(new_v[src].dtype), idx,
+                    interpret=interp).reshape(new_v[src].shape)
+            else:
+                new_k[src] = new_k[src].at[page_of_i, off].set(
+                    k.astype(new_k[src].dtype), mode="drop")
+                new_v[src] = new_v[src].at[page_of_i, off].set(
+                    v.astype(new_v[src].dtype), mode="drop")
 
         if use_flash:
             from ..ops.pallas.flash_decode import paged_flash_decode

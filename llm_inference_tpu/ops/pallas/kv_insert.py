@@ -1,0 +1,105 @@
+"""In-place KV row insertion for the batched/paged serving caches.
+
+The batched per-op and paged decode paths append each lane's new K/V row
+with an XLA scatter (``pool.at[idx].set(row, mode="drop")``). On TPU that
+scatter does NOT lower in place: XLA materializes a full copy of the
+operand per scatter — measured 52 ``copy bf16[96,256,1,256]`` kernels per
+step at batch 32 x 4k paged (one per K and V pool per layer), ~9.1 ms of
+a 13.2 ms step for writes totalling 32 KB of actual payload.
+
+This kernel is the scatter's in-place replacement: the destination is
+aliased input->output (``input_output_aliases``), and each lane's row is
+one tiny VMEM->HBM DMA at a dynamic row offset. Out-of-range row ids
+drop the write (parked lanes / unassigned pages), mirroring the
+scatter's ``mode="drop"``.
+
+Reference contrast: the C++ engine appends to a growing per-layer
+``std::vector`` cache (model.cpp:461-474) — single request, host memory,
+no aliasing problem to solve.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def insert_rows(dst, rows, rowidx, *, interpret=False):
+    """Write ``rows[b]`` into ``dst[rowidx[b]]`` in place.
+
+    dst: [R, H, d] (any dtype; the caller casts rows to match).
+    rows: [B, H, d], same dtype as dst.
+    rowidx: [B] int32; entries < 0 or >= R are dropped.
+    Returns the updated dst (same buffer: aliased).
+
+    Shapes are rank-3 on purpose: TPU tiling applies to the trailing two
+    dims, so indexing the leading dim hits no tile-alignment constraint
+    (Mosaic rejects 1-row slices of a tiled 2-D buffer). Callers reshape
+    [B, S, H, d] caches / [P, PAGE, H, d] pools to [rows, H, d] — a free
+    view, since the leading dims are untiled row-major.
+    """
+    R, H, C = dst.shape
+    B = rows.shape[0]
+    if rows.dtype != dst.dtype:
+        raise ValueError(f"rows dtype {rows.dtype} != dst dtype {dst.dtype}")
+
+    def kernel(idx_r, rows_r, dst_r, out_r, stage0, stage1, sem):
+        del dst_r  # aliased with out_r; all access goes through out_r
+        # Stage each row through a whole-buffer VMEM scratch: Mosaic
+        # rejects DMA slices of tiled VMEM dims (a [1, H, C] slice of
+        # the [B, H, C] input), but a static-index LOAD of rows_r[b] is
+        # fine, and DMAing an ENTIRE scratch buffer needs no source
+        # slicing. The destination slice .at[idx] only indexes the
+        # untiled leading dim. Two scratches so lane b+1's store
+        # overlaps lane b's DMA.
+        stages = (stage0, stage1)
+        copies = [None, None]
+        for b in range(B):
+            s = b % 2
+            if copies[s] is not None:
+                @pl.when(in_range(idx_r[b - 2]))
+                def _(cp=copies[s]):
+                    cp.wait()
+            stages[s][...] = rows_r[b]
+            cp = pltpu.make_async_copy(
+                stages[s], out_r.at[rowidx_clamped(idx_r[b])], sem.at[s])
+            copies[s] = cp
+
+            @pl.when(in_range(idx_r[b]))
+            def _(cp=cp):
+                cp.start()
+        for b in range(max(0, B - 2), B):
+            @pl.when(in_range(idx_r[b]))
+            def _(cp=copies[b % 2]):
+                cp.wait()
+
+    def in_range(i):
+        return (i >= 0) & (i < R)
+
+    def rowidx_clamped(i):
+        # .at index must be in bounds even when the guarded DMA never
+        # runs (interpret mode evaluates both sides of pl.when eagerly
+        # enough to index); clamp to a valid row
+        return jnp.clip(i, 0, R - 1)
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((R, H, C), dst.dtype),
+        input_output_aliases={2: 0},
+        scratch_shapes=[pltpu.VMEM((H, C), dst.dtype),
+                        pltpu.VMEM((H, C), dst.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(jnp.asarray(rowidx, jnp.int32), rows, dst)

@@ -208,6 +208,47 @@ def capture(mode: str, max_seq: int, chunks: int = 2, decode_chunk: int = 64):
     return eng, trace_dir, steps, wall
 
 
+def capture_batched(mode: str, max_seq: int, batch: int, chunks: int = 2,
+                    decode_chunk: int = 64):
+    """Trace `chunks` batched decode chunks mid-run on a full batch.
+    Returns (server, trace_dir, steps, wall, pos_lo, pos_hi): pos_lo/hi
+    bound the lanes' cache fill over the traced window (for the
+    prefix-bounded cache-DMA byte accounting)."""
+    import jax
+    import numpy as np
+
+    import bench
+
+    if not bench.CACHE.exists():
+        bench.build_checkpoint()
+    from llm_inference_tpu.serving import BatchedServer
+
+    server = BatchedServer(str(bench.CACHE), max_seq=max_seq, max_batch=batch,
+                           mode=mode, decode_chunk=decode_chunk,
+                           max_admit_per_step=batch)
+    server.tokenizer.eos_id = -1
+    server.tokenizer.end_of_turn_id = -1
+    rng = np.random.default_rng(0)
+    need = (chunks + 3) * decode_chunk + 8
+    reqs = [server.submit([2] + rng.integers(10, 10000, size=31).tolist(), need)
+            for _ in range(batch)]
+    server.step()  # admit + compile prefill/chunk
+    server.step()  # settle
+    pos_lo = min(r.pos for r in reqs)
+
+    trace_dir = "/tmp/llmi_roofline_trace_batch"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        server.step()
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+    pos_hi = max(r.pos for r in reqs)
+    steps = chunks * decode_chunk
+    return server, trace_dir, steps, wall, pos_lo, pos_hi
+
+
 def parse_trace(trace_dir: str, steps: int):
     files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     assert files, f"no trace under {trace_dir}"
@@ -240,6 +281,70 @@ def parse_trace(trace_dir: str, steps: int):
     return per_op, per_op_n, per_bucket, total
 
 
+def batched_main(args):
+    """Batched-serving roofline: device time per batched decode step vs
+    the config's own speed-of-light (weight stream shared by all lanes +
+    the prefix-bounded cache DMA)."""
+    import jax
+    import numpy as np
+
+    server, trace_dir, steps, wall, pos_lo, pos_hi = capture_batched(
+        args.mode, args.max_seq, args.batch, args.chunks, args.decode_chunk)
+    per_op, per_op_n, per_bucket, total_us = parse_trace(trace_dir, steps)
+
+    B, S = args.batch, args.max_seq
+    w = getattr(server, "_w_stacked", None) or server.weights
+    wb = weight_bytes(w)
+    wtotal = sum(wb.values())
+
+    kv_full = sum(
+        x.nbytes for x in jax.tree_util.tree_leaves(server._caches)
+        if hasattr(x, "nbytes"))
+    # prefix-bounded cache DMA (fused_decode_batch.py): 4 chunks of S/4
+    # rows, ceil((pos+16)/chunk) copied per layer per step
+    nkv = 4 if S % 64 == 0 else 1
+    kvc = S // nkv
+    fill = np.arange(pos_lo, pos_hi)
+    rows = np.clip((fill + 16 + kvc - 1) // kvc, 1, nkv) * kvc
+    frac = float(rows.mean()) / S if server._mega_batch else 1.0
+    cache_bytes = kv_full * frac
+
+    sol_ms = (wtotal + cache_bytes) / (HBM_GBPS * 1e9) * 1e3
+    step_ms = total_us / steps / 1e3
+    wall_ms = wall / steps * 1e3
+
+    lines = []
+    lines.append(f"\n# Roofline — mode={args.mode} BATCHED B={B}, "
+                 f"max_seq={S}, 1B geometry, 1 chip\n")
+    lines.append(f"Traced over lane fill [{pos_lo}, {pos_hi}] of {S} "
+                 f"(cache DMA prefix-bounded: mean {100*frac:.0f}% of the "
+                 f"full slab read per layer).\n")
+    lines.append(f"- weight bytes/step (shared by all {B} lanes): {wtotal/1e6:.1f} MB")
+    lines.append(f"- cache bytes/step at this fill: {cache_bytes/1e6:.1f} MB "
+                 f"(full slab {kv_full/1e6:.1f} MB)")
+    lines.append(f"- speed-of-light step: {sol_ms:.3f} ms -> "
+                 f"{B*1e3/sol_ms:.0f} tok/s aggregate")
+    lines.append(f"- measured device time/step: {step_ms:.3f} ms "
+                 f"({100*sol_ms/step_ms:.1f}% of SoL)")
+    lines.append(f"- measured wall time/step:   {wall_ms:.3f} ms -> "
+                 f"{B*1e3/wall_ms:.1f} tok/s aggregate "
+                 f"(device busy {100*step_ms/wall_ms:.0f}%)\n")
+    lines.append("## By op class (device time per step)\n")
+    lines.append("| op class | us/step | % of step |")
+    lines.append("|---|---|---|")
+    for b, us in per_bucket.most_common(8):
+        lines.append(f"| {b} | {us/steps:.1f} | {100*us/total_us:.1f}% |")
+
+    out = "\n".join(lines)
+    print(out)
+    if args.write:
+        p = Path(os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md"))
+        if args.append:
+            p.write_text(p.read_text() + out + "\n")
+        else:
+            p.write_text(out + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default=os.environ.get("LLMI_BENCH_MODE", "serve-q8"))
@@ -250,9 +355,16 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--no-prefill", action="store_true",
                     help="skip the prefill MFU sweep")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batched-serving roofline at this batch size")
+    ap.add_argument("--append", action="store_true",
+                    help="append to ROOFLINE.md instead of overwriting")
     args = ap.parse_args()
 
     import numpy as np
+
+    if args.batch:
+        return batched_main(args)
 
     eng, trace_dir, steps, wall = capture(args.mode, args.max_seq, args.chunks, args.decode_chunk)
     per_op, per_op_n, per_bucket, total_us = parse_trace(trace_dir, steps)
@@ -306,7 +418,11 @@ def main():
     out = "\n".join(lines)
     print(out)
     if args.write:
-        Path(os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md")).write_text(out + "\n")
+        p = Path(os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md"))
+        if args.append:
+            p.write_text(p.read_text() + "\n" + out + "\n")
+        else:
+            p.write_text(out + "\n")
 
 
 if __name__ == "__main__":
