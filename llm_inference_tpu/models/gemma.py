@@ -133,10 +133,14 @@ def _inplace_insert_enabled() -> bool:
     (measured ~9.1 ms/step at batch 32 x 4k paged). On by default on
     TPU; on CPU the kernel runs in interpret mode, so tests opt in via
     LLMI_FUSED_INTERPRET=1 and everything else keeps the scatter.
-    LLMI_NO_INPLACE_INSERT=1 forces the scatter everywhere."""
+    Currently OPT-IN (LLMI_INPLACE_INSERT=1 or LLMI_FUSED_INTERPRET=1
+    for interpret-mode tests): the kernel does not yet Mosaic-lower for
+    degenerate-head-dim caches (H=1 pads to 2 in the TPU layout and any
+    DMA slice of the padded dim is rejected), so the default stays on
+    the XLA scatter until the layout work lands."""
     if os.environ.get("LLMI_NO_INPLACE_INSERT", "0") == "1":
         return False
-    return (jax.default_backend() == "tpu"
+    return (os.environ.get("LLMI_INPLACE_INSERT", "0") == "1"
             or os.environ.get("LLMI_FUSED_INTERPRET", "0") == "1")
 
 
