@@ -71,7 +71,54 @@ def hbm_report(label: str) -> None:
             print(f"{label}: {d} {used:.2f} GB in use / {limit:.2f} GB", flush=True)
 
 
-def run_12b(generate: int) -> None:
+def profile_12b(eng) -> None:
+    """Device-time-per-step capture on the loaded 12B engine: how much
+    of the wall number is the streamed kernel vs tunnel round-trips."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from roofline import HBM_GBPS, parse_trace
+
+    rng = np.random.default_rng(0)
+    prompt = [2] + rng.integers(10, 10000, size=15).tolist()
+    cache = eng.new_cache()
+    padded = np.zeros(32, dtype=np.int32)
+    padded[: len(prompt)] = prompt
+    tok, _, cache = eng._prefill(eng.weights, cache, jnp.asarray(padded),
+                                 jnp.int32(0), jnp.int32(len(prompt)),
+                                 eng._base_key)
+    tok = jnp.asarray(int(tok), dtype=jnp.int32)
+    pos = len(prompt)
+    toks, cache = eng._decode_chunk(eng.weights, cache, tok, jnp.int32(pos),
+                                    eng._base_key)
+    toks.block_until_ready()
+    pos += eng.decode_chunk
+    trace_dir = "/tmp/llmi_cap12b_trace"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        toks, cache = eng._decode_chunk(
+            eng.weights, cache, jnp.asarray(int(toks[-1]), dtype=jnp.int32),
+            jnp.int32(pos), eng._base_key)
+        toks.block_until_ready()
+        pos += eng.decode_chunk
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+    steps = 2 * eng.decode_chunk
+    per_op, per_op_n, per_bucket, total_us = parse_trace(trace_dir, steps)
+    print(f"12B device time/step: {total_us/steps/1e3:.2f} ms; "
+          f"wall {wall/steps*1e3:.2f} ms/step", flush=True)
+    for b, us in per_bucket.most_common(6):
+        print(f"  {b:40s} {us/steps:9.1f} us/step", flush=True)
+    for name, us in per_op.most_common(6):
+        print(f"  `{name[:50]}` {us/steps:9.1f} us/step x{per_op_n[name]/steps:.1f}",
+              flush=True)
+
+
+def run_12b(generate: int, profile: bool = False) -> None:
     import jax
     import numpy as np
 
@@ -79,7 +126,7 @@ def run_12b(generate: int) -> None:
 
     path = build("12b")
     t0 = time.time()
-    eng = Engine(str(path), max_seq=1024, mode="serve-q4", decode_chunk=16)
+    eng = Engine(str(path), max_seq=1024, mode="serve-q4", decode_chunk=64)
     print(f"12B serve-q4 load: {time.time()-t0:.0f}s", flush=True)
     hbm_report("after load")
     nparams = sum(
@@ -103,6 +150,8 @@ def run_12b(generate: int) -> None:
               f"{st.decode_tok_per_s:.1f} tok/s "
               f"(prefill {st.prefill_seconds*1e3:.0f} ms)", flush=True)
         hbm_report("after generate")
+    if profile:
+        profile_12b(eng)
 
 
 def run_27b(layout: str = "maskdot") -> None:
@@ -163,6 +212,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=["12b", "27b"])
     ap.add_argument("--generate", type=int, default=8)
+    ap.add_argument("--profile", action="store_true",
+                    help="12b: trace decode chunks, print device us/step")
     ap.add_argument("--layout", choices=["maskdot", "int8"], default="maskdot",
                     help="27b: serve-q4 maskdot TP load (default) or planar int8")
     args = ap.parse_args()
@@ -185,7 +236,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         run_27b(args.layout)
     else:
-        run_12b(args.generate)
+        run_12b(args.generate, profile=args.profile)
 
 
 if __name__ == "__main__":
