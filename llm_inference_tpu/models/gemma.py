@@ -130,18 +130,33 @@ def _inplace_insert_enabled() -> bool:
     """Batched/paged KV row writes go through the aliased Pallas DMA
     kernel (ops/pallas/kv_insert.py) instead of an XLA scatter: the
     scatter's TPU lowering copies the entire cache/pool per layer
-    (measured ~9.1 ms/step at batch 32 x 4k paged). On by default on
-    TPU; on CPU the kernel runs in interpret mode, so tests opt in via
-    LLMI_FUSED_INTERPRET=1 and everything else keeps the scatter.
-    Currently OPT-IN (LLMI_INPLACE_INSERT=1 or LLMI_FUSED_INTERPRET=1
-    for interpret-mode tests): the kernel does not yet Mosaic-lower for
-    degenerate-head-dim caches (H=1 pads to 2 in the TPU layout and any
-    DMA slice of the padded dim is rejected), so the default stays on
-    the XLA scatter until the layout work lands."""
+    (measured ~9.1 ms/step at batch 32 x 4k paged). Default ON on TPU
+    for geometries the kernel lowers for (kv_insert.layout_supported —
+    degenerate H=1/head_dim=256 caches re-view as [2, 128] inside the
+    kernel); per-shape fallback to the scatter happens at the call
+    sites. On CPU the kernel only runs in interpret mode, so tests opt
+    in via LLMI_FUSED_INTERPRET=1 (or LLMI_INPLACE_INSERT=1) and
+    everything else keeps the scatter. LLMI_NO_INPLACE_INSERT=1 forces
+    the scatter everywhere."""
     if os.environ.get("LLMI_NO_INPLACE_INSERT", "0") == "1":
         return False
-    return (os.environ.get("LLMI_INPLACE_INSERT", "0") == "1"
-            or os.environ.get("LLMI_FUSED_INTERPRET", "0") == "1")
+    if os.environ.get("LLMI_INPLACE_INSERT", "0") == "1":
+        return True
+    if jax.default_backend() == "tpu":
+        return True
+    return os.environ.get("LLMI_FUSED_INTERPRET", "0") == "1"
+
+
+def _use_inplace_insert(*caches) -> bool:
+    """Per-shape gate: the env/default switch AND (on TPU) a lowerable
+    trailing layout for every cache passed ([**, H, d] trailing dims)."""
+    if not _inplace_insert_enabled():
+        return False
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas.kv_insert import layout_supported
+
+        return all(layout_supported(c.shape[-2], c.shape[-1]) for c in caches)
+    return True
 
 
 def swa_active(hp: HParams) -> bool:
@@ -656,12 +671,16 @@ def forward_batched_decode(
             # drop. On TPU the XLA scatter is NOT in place (it copies the
             # whole [B, S, Hkv, d] cache per layer); use the aliased
             # Pallas row-DMA kernel instead (ops/pallas/kv_insert.py)
-            if _inplace_insert_enabled():
+            if _use_inplace_insert(new_k[src], new_v[src]):
                 from ..ops.pallas.kv_insert import insert_rows
 
                 S_src = new_k[src].shape[1]
                 rows_total = B * S_src
-                idx = jnp.where(pos < S_src, lanes * S_src + pos, rows_total)
+                # negatives map to the drop sentinel so the kernel and
+                # the scatter share one drop rule (the scatter would
+                # wrap them per JAX .at semantics)
+                idx = jnp.where((pos >= 0) & (pos < S_src),
+                                lanes * S_src + pos, rows_total)
                 interp = jax.default_backend() != "tpu"
                 new_k[src] = insert_rows(
                     new_k[src].reshape((rows_total,) + new_k[src].shape[2:]),
@@ -830,11 +849,14 @@ def forward_batched_decode_paged(
             # drop. Same scatter-copies-the-pool problem as the dense
             # path: measured 9.1 ms/step of pool copies at batch 32 x 4k
             # before the in-place kernel
-            if _inplace_insert_enabled():
+            if _use_inplace_insert(new_k[src], new_v[src]):
                 from ..ops.pallas.kv_insert import insert_rows
 
                 pool_rows_i = new_k[src].shape[0] * page
-                idx = jnp.where(page_of_i < new_k[src].shape[0],
+                # negatives -> drop sentinel (shared drop rule with the
+                # scatter path; see the dense-lane insert above)
+                idx = jnp.where((page_of_i >= 0) & (off >= 0)
+                                & (page_of_i < new_k[src].shape[0]),
                                 page_of_i * page + off, pool_rows_i)
                 interp = jax.default_backend() != "tpu"
                 new_k[src] = insert_rows(

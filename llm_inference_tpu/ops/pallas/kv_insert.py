@@ -28,6 +28,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def layout_supported(H: int, C: int, dtype=jnp.bfloat16) -> bool:
+    """True when a [rows, H, C] destination Mosaic-lowers on TPU.
+
+    Probed on hardware (tools/probe_kv_insert_tpu.py): the kernel
+    compiles and is bit-exact when the trailing two dims are
+    [m >= 2, multiple of 128] — i.e. no lane padding and no
+    single-sublane DMA destination. A degenerate [1, 256] head layout
+    (Gemma-1B: n_head_kv=1, head_dim=256) is NOT directly lowerable but
+    its row payload reshapes freely to [2, 128], which is; insert_rows
+    applies that view automatically. Unsupported geometries (row
+    payload not a multiple of 256 lanes' bytes) keep the XLA scatter.
+    """
+    del dtype
+    if H >= 2 and C % 128 == 0:
+        return True
+    total = H * C
+    return total % 128 == 0 and total // 128 >= 2
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def insert_rows(dst, rows, rowidx, *, interpret=False):
     """Write ``rows[b]`` into ``dst[rowidx[b]]`` in place.
@@ -42,8 +61,24 @@ def insert_rows(dst, rows, rowidx, *, interpret=False):
     (Mosaic rejects 1-row slices of a tiled 2-D buffer). Callers reshape
     [B, S, H, d] caches / [P, PAGE, H, d] pools to [rows, H, d] — a free
     view, since the leading dims are untiled row-major.
+
+    Degenerate trailing layouts that Mosaic rejects (H=1, or lane dim
+    not a multiple of 128) are re-viewed row-major as [R, H*d/128, 128]
+    when that is lowerable — a free reshape of the same row payload.
     """
     R, H, C = dst.shape
+    if not interpret and not (H >= 2 and C % 128 == 0):
+        total = H * C
+        if total % 128 == 0 and total // 128 >= 2:
+            m = total // 128
+            out = insert_rows(dst.reshape(R, m, 128),
+                              rows.reshape(rows.shape[0], m, 128),
+                              rowidx, interpret=interpret)
+            return out.reshape(R, H, C)
+        raise ValueError(
+            f"insert_rows: trailing layout [{H}, {C}] does not Mosaic-lower "
+            "and has no [m>=2, 128] row-major view; use the XLA scatter "
+            "(gate with layout_supported())")
     B = rows.shape[0]
     if rows.dtype != dst.dtype:
         raise ValueError(f"rows dtype {rows.dtype} != dst dtype {dst.dtype}")

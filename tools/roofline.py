@@ -340,7 +340,7 @@ def batched_main(args):
     if args.write:
         p = Path(os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md"))
         if args.append:
-            p.write_text(p.read_text() + out + "\n")
+            p.write_text((p.read_text() if p.exists() else "") + out + "\n")
         else:
             p.write_text(out + "\n")
 
@@ -420,7 +420,7 @@ def main():
     if args.write:
         p = Path(os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md"))
         if args.append:
-            p.write_text(p.read_text() + "\n" + out + "\n")
+            p.write_text((p.read_text() + "\n" if p.exists() else "") + out + "\n")
         else:
             p.write_text(out + "\n")
 
