@@ -836,6 +836,12 @@ def forward_batched_decode_paged(
         else:
             table_i = table
             page_of_i = page_of
+        # split-d pool layout (serving.py _pool): a degenerate real
+        # geometry [Hkv=1, d=m*128] is stored [*, PAGE, m, 128] so the
+        # in-place row insert Mosaic-lowers with NO re-tiling — the
+        # [1,256]<->[2,128] XLA reshapes around the insert measured
+        # ~3.7 ms/step of pure copy at batch 32
+        dsplit = new_k[src].shape[2:] != (hp.n_head_kv, dk)
         if has_kv:
             k = k_flat.reshape(B, hp.n_head_kv, dk)
             if layer.k_norm is not None:
@@ -845,6 +851,10 @@ def forward_batched_decode_paged(
             v = v_flat.reshape(B, hp.n_head_kv, dv)
             if hp.architecture == "gemma4":
                 v = rms_norm(v, hp.rms_eps)
+            if dsplit:
+                # free view: [B, 1, m*128] -> [B, m, 128] (row-major)
+                k = k.reshape((B,) + new_k[src].shape[2:])
+                v = v.reshape((B,) + new_v[src].shape[2:])
             # per-lane row insert at (page_of[b], off[b]); parked lanes
             # drop. Same scatter-copies-the-pool problem as the dense
             # path: measured 9.1 ms/step of pool copies at batch 32 x 4k
@@ -880,10 +890,12 @@ def forward_batched_decode_paged(
                       else jnp.zeros_like(lengths))
             attn = paged_flash_decode(
                 q, new_k[src], new_v[src], table_i, lengths, starts,
-                softcap=hp.attn_soft_cap or 0.0,
+                softcap=hp.attn_soft_cap or 0.0, dsplit=dsplit,
             ).reshape(B, hp.n_head * dv)
         else:
             # gather-to-dense fallback (CPU tests / ALiBi): [B, S_max, ...]
+            # (a dsplit pool's [m, 128] trailing dims re-view row-major
+            # back to [Hkv=1, d] — same bytes)
             kd = new_k[src][table_i].reshape(B, max_blocks * page, hp.n_head_kv, dk)
             vd = new_v[src][table_i].reshape(B, max_blocks * page, hp.n_head_kv, dv)
             attn = jax.vmap(

@@ -103,23 +103,91 @@ def _kernel(lens_ref, starts_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr,
         o_ref[0] = (acc[:] / safe).astype(o_ref.dtype)
 
 
+def _kernel_dsplit(lens_ref, starts_ref, q_ref, k_ref, v_ref, o_ref, acc,
+                   m_scr, l_scr, *, block, softcap):
+    """Split-d variant: ONE real KV head of dim m*128, stored as
+    [BLK, m, 128] so the pool layout Mosaic-lowers everywhere (the row
+    insert kernel rejects a [1, m*128] trailing layout, and XLA
+    re-tiling between the two views costs ~3.7 ms/step at batch 32 —
+    measured; see models/gemma.py forward_batched_decode_paged). The QK
+    dot accumulates over the m 128-lane chunks; PV writes acc per chunk."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    length = lens_ref[b]
+    start = starts_ref[b]
+
+    @pl.when((j * block < length) & ((j + 1) * block > start))
+    def _():
+        q = q_ref[0].astype(jnp.float32)  # [H, Dk = mk*128]
+        k = k_ref[0].astype(jnp.float32)  # [BLK, mk, 128]
+        v = v_ref[0].astype(jnp.float32)  # [BLK, mv, 128]
+        H = q.shape[0]
+        mk = k.shape[1]
+        mv = v.shape[1]
+
+        key_pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        valid = (key_pos < length) & (key_pos >= start)  # [1, BLK]
+
+        s = jnp.zeros((H, block), jnp.float32)
+        for i in range(mk):  # static, small (d/128)
+            s = s + jax.lax.dot_general(
+                q[:, i * 128 : (i + 1) * 128], k[:, i, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, BLK]
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+        s = jnp.where(valid, s, -jnp.inf)
+
+        m_prev = m_scr[:]  # [H, 1]
+        l_prev = l_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [H, BLK]
+        l_scr[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[:] = m_new
+        for i in range(mv):
+            pv = jax.lax.dot_general(
+                p, v[:, i, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, 128]
+            acc[:, i * 128 : (i + 1) * 128] = (
+                acc[:, i * 128 : (i + 1) * 128] * alpha + pv)
+
+    @pl.when(j == nb - 1)
+    def _():
+        denom = l_scr[:]
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc[:] / safe).astype(o_ref.dtype)
+
+
 def _starts_or_zeros(starts, lengths):
     if starts is None:
         return jnp.zeros_like(lengths, dtype=jnp.int32)
     return starts.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("softcap", "interpret"))
+@functools.partial(jax.jit, static_argnames=("softcap", "interpret", "dsplit"))
 def paged_flash_decode(
     q: Array,  # [B, H, Dk] f32 (already scaled)
-    k_pool: Array,  # [N_pages, PAGE, Hkv, Dk]
-    v_pool: Array,  # [N_pages, PAGE, Hkv, Dv]
+    k_pool: Array,  # [N_pages, PAGE, Hkv, Dk]; dsplit: [N, PAGE, Dk/128, 128]
+    v_pool: Array,  # [N_pages, PAGE, Hkv, Dv]; dsplit: [N, PAGE, Dv/128, 128]
     table: Array,  # [B, max_pages] int32: page id per block of each request
     lengths: Array,  # [B] int32
     starts: Array | None = None,  # [B] int32: first attendable key (SWA)
     *,
     softcap: float = 0.0,
     interpret: bool = False,
+    dsplit: bool = False,
 ) -> Array:
     """Paged variant of :func:`flash_decode`: the KV cache lives in a
     shared PAGE POOL and each request's blocks indirect through a
@@ -129,9 +197,22 @@ def paged_flash_decode(
     clamp to the window's boundary pages, so consecutive steps
     re-reference the same pool row and Mosaic elides the copy). The kernel
     body (blockwise online softmax) is shared with the dense path. Page
-    size = the kernel block (DEFAULT_BLOCK)."""
+    size = the kernel block (DEFAULT_BLOCK).
+
+    ``dsplit``: the pools hold ONE real KV head of dim m*128 stored as
+    [N, PAGE, m, 128] (the layout the in-place row-insert kernel lowers
+    for; models/gemma.py picks it for degenerate n_head_kv=1 caches).
+    q stays [B, H, m*128]; the kernel sums the QK dot over the chunks."""
     B, H, Dk = q.shape
     N, page, Hkv, Dv = v_pool.shape
+    if dsplit:
+        mk = k_pool.shape[2]
+        mv = v_pool.shape[2]
+        if mk * 128 != Dk or k_pool.shape[3] != 128 or v_pool.shape[3] != 128:
+            raise ValueError(
+                f"dsplit pools must be [N, PAGE, d/128, 128]; got k "
+                f"{k_pool.shape} v {v_pool.shape} for Dk={Dk}")
+        Dv = mv * 128
     nb = table.shape[1]
 
     def pagemap(b, j, lens, starts_, tbl):
@@ -146,14 +227,16 @@ def paged_flash_decode(
         pid = tbl[b, jnp.minimum(jnp.maximum(j, first), last)]
         return (jnp.minimum(pid, N - 1), 0, 0, 0)
 
+    kspec = ((1, page, mk, 128) if dsplit else (1, page, Hkv, Dk))
+    vspec = ((1, page, mv, 128) if dsplit else (1, page, Hkv, Dv))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, H, Dk), lambda b, j, lens, starts_, tbl: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page, Hkv, Dk), pagemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page, Hkv, Dv), pagemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(kspec, pagemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(vspec, pagemap, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, H, Dv), lambda b, j, lens, starts_, tbl: (b, 0, 0),
@@ -166,11 +249,13 @@ def paged_flash_decode(
         ],
     )
 
+    body = _kernel_dsplit if dsplit else _kernel
+
     def kernel(lens_ref, starts_ref, tbl_ref, q_ref, k_ref, v_ref, o_ref,
                acc, m_scr, l_scr):
         del tbl_ref  # indirection happens in the index_map
-        _kernel(lens_ref, starts_ref, q_ref, k_ref, v_ref, o_ref, acc,
-                m_scr, l_scr, block=page, softcap=softcap)
+        body(lens_ref, starts_ref, q_ref, k_ref, v_ref, o_ref, acc,
+             m_scr, l_scr, block=page, softcap=softcap)
 
     return pl.pallas_call(
         kernel,

@@ -83,34 +83,31 @@ def insert_rows(dst, rows, rowidx, *, interpret=False):
     if rows.dtype != dst.dtype:
         raise ValueError(f"rows dtype {rows.dtype} != dst dtype {dst.dtype}")
 
-    def kernel(idx_r, rows_r, dst_r, out_r, stage0, stage1, sem):
+    def kernel(idx_r, rows_r, dst_r, out_r, sem):
         del dst_r  # aliased with out_r; all access goes through out_r
-        # Stage each row through a whole-buffer VMEM scratch: Mosaic
-        # rejects DMA slices of tiled VMEM dims (a [1, H, C] slice of
-        # the [B, H, C] input), but a static-index LOAD of rows_r[b] is
-        # fine, and DMAing an ENTIRE scratch buffer needs no source
-        # slicing. The destination slice .at[idx] only indexes the
-        # untiled leading dim. Two scratches so lane b+1's store
-        # overlaps lane b's DMA.
-        stages = (stage0, stage1)
-        copies = [None, None]
+        # Direct HBM->HBM row DMAs, ALL B in flight at once. Both the
+        # source slice rows_r.at[b] and the destination slice
+        # out_r.at[idx] index only the untiled leading dim of an
+        # ANY-space buffer, which Mosaic accepts (tiling constraints
+        # apply to the trailing two dims). No VMEM staging: the earlier
+        # staged variant (2-deep scratch pipeline) serialized B tiny
+        # transfers and measured SLOWER than the XLA scatter it replaces
+        # at batch 32 (~5 ms/step of DMA latency across 52 pools);
+        # concurrent HBM->HBM copies pay one latency for all B.
+        # Duplicate in-range row ids would race — callers guarantee
+        # distinct rows (each serving lane owns its slot/page).
+        copies = []
         for b in range(B):
-            s = b % 2
-            if copies[s] is not None:
-                @pl.when(in_range(idx_r[b - 2]))
-                def _(cp=copies[s]):
-                    cp.wait()
-            stages[s][...] = rows_r[b]
             cp = pltpu.make_async_copy(
-                stages[s], out_r.at[rowidx_clamped(idx_r[b])], sem.at[s])
-            copies[s] = cp
+                rows_r.at[b], out_r.at[rowidx_clamped(idx_r[b])], sem.at[b])
+            copies.append(cp)
 
             @pl.when(in_range(idx_r[b]))
             def _(cp=cp):
                 cp.start()
-        for b in range(max(0, B - 2), B):
+        for b in range(B):
             @pl.when(in_range(idx_r[b]))
-            def _(cp=copies[b % 2]):
+            def _(cp=copies[b]):
                 cp.wait()
 
     def in_range(i):
@@ -126,15 +123,13 @@ def insert_rows(dst, rows, rowidx, *, interpret=False):
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((R, H, C), dst.dtype),
         input_output_aliases={2: 0},
-        scratch_shapes=[pltpu.VMEM((H, C), dst.dtype),
-                        pltpu.VMEM((H, C), dst.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((B,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(jnp.asarray(rowidx, jnp.int32), rows, dst)

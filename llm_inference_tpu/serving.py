@@ -284,10 +284,28 @@ class BatchedServer:
                            if _ring(i) > 0}
             ring_layers = tuple(sorted(self._rings))
 
+            def _dsplit_ok(i):
+                # degenerate real geometry (one KV head, d = m*128, for
+                # BOTH k and v): store split-d [*, PAGE, m, 128] so the
+                # in-place row insert Mosaic-lowers with no re-tiling
+                # copies and the flash kernel reads it natively
+                # (dsplit=True). The two views hold identical bytes.
+                dk = (hp.n_embd_head_k_swa if hp.is_swa_layer(i)
+                      else hp.n_embd_head_k)
+                dv = (hp.n_embd_head_v_swa if hp.is_swa_layer(i)
+                      else hp.n_embd_head_v)
+                return (hp.n_head_kv == 1
+                        and dk % 128 == 0 and dk // 128 >= 2
+                        and dv % 128 == 0 and dv // 128 >= 2)
+
             def _pool(i, dk_or_dv):
                 rows = (max_batch * self._rings[i] if i in self._rings
                         else kv_pages)
-                return jnp.zeros((rows, PAGE, hp.n_head_kv, dk_or_dv),
+                d = dk_or_dv
+                if _dsplit_ok(i):
+                    return jnp.zeros((rows, PAGE, d // 128, 128),
+                                     dtype=kv_dtype)
+                return jnp.zeros((rows, PAGE, hp.n_head_kv, d),
                                  dtype=kv_dtype)
 
             from .models.gemma import KVCache
@@ -309,6 +327,16 @@ class BatchedServer:
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     return (c, nxt, p + 1), nxt
 
+                if os.environ.get("LLMI_PAGED_UNROLL", "0") == "1":
+                    # unrolled probe: lax.scan double-buffers the pool
+                    # carry (a full pool copy per step); unrolled, XLA's
+                    # buffer assignment can chain the updates in place
+                    carry = (pools, tokens, pos)
+                    outs = []
+                    for _ in range(decode_chunk):
+                        carry, nxt = body(carry, None)
+                        outs.append(nxt)
+                    return jnp.stack(outs, axis=1), carry[0]
                 (c, _, _), toks = jax.lax.scan(body, (pools, tokens, pos), None,
                                                length=decode_chunk)
                 return jnp.moveaxis(toks, 0, 1), c
@@ -338,11 +366,15 @@ class BatchedServer:
                                             max_batch * r)  # OOB -> drop
                         else:
                             row = pages[j]
+                        # dsplit pools: re-view scratch rows [rows, 1, d]
+                        # -> [rows, m, 128] (free, row-major-identical)
                         nk[i] = nk[i].at[row, :rows].set(
-                            scratch.k[i][lo : lo + rows].astype(nk[i].dtype),
+                            scratch.k[i][lo : lo + rows].reshape(
+                                (rows,) + nk[i].shape[2:]).astype(nk[i].dtype),
                             mode="drop")
                         nv[i] = nv[i].at[row, :rows].set(
-                            scratch.v[i][lo : lo + rows].astype(nv[i].dtype),
+                            scratch.v[i][lo : lo + rows].reshape(
+                                (rows,) + nv[i].shape[2:]).astype(nv[i].dtype),
                             mode="drop")
                 from .models.gemma import KVCache as _KV
 
@@ -394,7 +426,8 @@ class BatchedServer:
                         pad = nbk * PAGE - s.shape[1]
                         if pad > 0:
                             s = jnp.pad(s, ((0, 0), (0, pad), (0, 0), (0, 0)))
-                        s = s.reshape(G * nbk, PAGE, *s.shape[2:])
+                        # dsplit pools: [.., 1, d] -> [.., m, 128] free view
+                        s = s.reshape(G * nbk, PAGE, *pool.shape[2:])
                         return pool.at[idx].set(
                             s.astype(pool.dtype), mode="drop")
 

@@ -114,3 +114,58 @@ def test_paged_flash_decode_matches_dense(hkv, group, rng):
     ))
     want = _golden(q, k, v, lengths)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_paged_flash_decode_dsplit_matches_plain(rng):
+    """dsplit=True over [N, PAGE, m, 128] pools == the plain kernel over
+    the same bytes viewed [N, PAGE, 1, m*128] (one real KV head)."""
+    from llm_inference_tpu.ops.pallas.flash_decode import paged_flash_decode
+
+    B, S, D, page, m = 3, 512, 256, 128, 2
+    H = 4  # GQA group of 4 over the single KV head
+    nb = S // page
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+    lengths = np.array([1, 200, 512], dtype=np.int32)
+    n_pages = B * nb + 2
+    table = rng.permutation(n_pages)[: B * nb].reshape(B, nb).astype(np.int32)
+    k_pool = rng.standard_normal((n_pages, page, 1, D)).astype(np.float16)
+    v_pool = rng.standard_normal((n_pages, page, 1, D)).astype(np.float16)
+
+    want = np.asarray(paged_flash_decode(
+        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(table), jnp.asarray(lengths), interpret=True))
+    got = np.asarray(paged_flash_decode(
+        jnp.asarray(q),
+        jnp.asarray(k_pool.reshape(n_pages, page, m, 128)),
+        jnp.asarray(v_pool.reshape(n_pages, page, m, 128)),
+        jnp.asarray(table), jnp.asarray(lengths), interpret=True,
+        dsplit=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_paged_flash_decode_dsplit_swa_starts(rng):
+    """dsplit path honors the SWA starts window like the plain path."""
+    from llm_inference_tpu.ops.pallas.flash_decode import paged_flash_decode
+
+    B, S, D, page, m = 2, 512, 256, 128, 2
+    H = 2
+    nb = S // page
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+    lengths = np.array([300, 512], dtype=np.int32)
+    starts = np.maximum(lengths - 160, 0).astype(np.int32)
+    n_pages = B * nb
+    table = np.arange(n_pages, dtype=np.int32).reshape(B, nb)
+    k_pool = rng.standard_normal((n_pages, page, 1, D)).astype(np.float16)
+    v_pool = rng.standard_normal((n_pages, page, 1, D)).astype(np.float16)
+
+    want = np.asarray(paged_flash_decode(
+        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(table), jnp.asarray(lengths), jnp.asarray(starts),
+        interpret=True))
+    got = np.asarray(paged_flash_decode(
+        jnp.asarray(q),
+        jnp.asarray(k_pool.reshape(n_pages, page, m, 128)),
+        jnp.asarray(v_pool.reshape(n_pages, page, m, 128)),
+        jnp.asarray(table), jnp.asarray(lengths), jnp.asarray(starts),
+        interpret=True, dsplit=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

@@ -209,7 +209,7 @@ def capture(mode: str, max_seq: int, chunks: int = 2, decode_chunk: int = 64):
 
 
 def capture_batched(mode: str, max_seq: int, batch: int, chunks: int = 2,
-                    decode_chunk: int = 64):
+                    decode_chunk: int = 64, kv_pages: int | None = None):
     """Trace `chunks` batched decode chunks mid-run on a full batch.
     Returns (server, trace_dir, steps, wall, pos_lo, pos_hi): pos_lo/hi
     bound the lanes' cache fill over the traced window (for the
@@ -225,7 +225,7 @@ def capture_batched(mode: str, max_seq: int, batch: int, chunks: int = 2,
 
     server = BatchedServer(str(bench.CACHE), max_seq=max_seq, max_batch=batch,
                            mode=mode, decode_chunk=decode_chunk,
-                           max_admit_per_step=batch)
+                           max_admit_per_step=batch, kv_pages=kv_pages)
     server.tokenizer.eos_id = -1
     server.tokenizer.end_of_turn_id = -1
     rng = np.random.default_rng(0)
@@ -289,7 +289,8 @@ def batched_main(args):
     import numpy as np
 
     server, trace_dir, steps, wall, pos_lo, pos_hi = capture_batched(
-        args.mode, args.max_seq, args.batch, args.chunks, args.decode_chunk)
+        args.mode, args.max_seq, args.batch, args.chunks, args.decode_chunk,
+        kv_pages=args.paged or None)
     per_op, per_op_n, per_bucket, total_us = parse_trace(trace_dir, steps)
 
     B, S = args.batch, args.max_seq
@@ -315,7 +316,9 @@ def batched_main(args):
 
     lines = []
     lines.append(f"\n# Roofline — mode={args.mode} BATCHED B={B}, "
-                 f"max_seq={S}, 1B geometry, 1 chip\n")
+                 f"max_seq={S}"
+                 + (f", PAGED pool={args.paged}" if args.paged else "")
+                 + ", 1B geometry, 1 chip\n")
     lines.append(f"Traced over lane fill [{pos_lo}, {pos_hi}] of {S} "
                  f"(cache DMA prefix-bounded: mean {100*frac:.0f}% of the "
                  f"full slab read per layer).\n")
@@ -357,6 +360,8 @@ def main():
                     help="skip the prefill MFU sweep")
     ap.add_argument("--batch", type=int, default=0,
                     help="batched-serving roofline at this batch size")
+    ap.add_argument("--paged", type=int, default=0,
+                    help="with --batch: shared KV page pool with N pages")
     ap.add_argument("--append", action="store_true",
                     help="append to ROOFLINE.md instead of overwriting")
     args = ap.parse_args()
