@@ -25,12 +25,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
 BASELINE_TOK_S = 31.53  # reference README.md:85 (gemma-3-1b-it Q4_0, greedy)
 
 # Gemma-3-1B geometry (gguf metadata of the real checkpoint)
-GEOM = dict(n_layers=26, n_embd=1152, n_ff=6912, n_head=4, n_head_kv=1, head_dim=256)
+GEOM_1B = dict(n_layers=26, n_embd=1152, n_ff=6912, n_head=4, n_head_kv=1,
+               head_dim=256)
+GEOM = GEOM_1B
+# Gemma-3-4B geometry — the BASELINE config-2 Q4_K_M-class model
+GEOM_4B = dict(n_layers=34, n_embd=2560, n_ff=10240, n_head=8, n_head_kv=4,
+               head_dim=256)
 VOCAB_SIZE = 262144
 
-CACHE = Path(os.environ.get("LLMI_BENCH_GGUF", "/tmp/llmi_bench_gemma3_1b_q4_0.gguf"))
+# LLMI_BENCH_GEOM: 1b (default) | 4b.  LLMI_BENCH_FMT: q4_0 (default) |
+# q8_0 | q4_k — the checkpoint's weight quantization (BASELINE config 2).
+GEOM_NAME = os.environ.get("LLMI_BENCH_GEOM", "1b")
+FMT = os.environ.get("LLMI_BENCH_FMT", "q4_0")
+if GEOM_NAME == "4b":
+    GEOM = GEOM_4B
 
-PREFILL_LEN = 32
+CACHE = Path(os.environ.get(
+    "LLMI_BENCH_GGUF", f"/tmp/llmi_bench_gemma3_{GEOM_NAME}_{FMT}.gguf"))
+
+PREFILL_LEN = int(os.environ.get("LLMI_BENCH_PREFILL", "32"))
 DECODE_STEPS = int(os.environ.get("LLMI_BENCH_STEPS", "256"))
 WARMUP_STEPS = 8
 MAX_SEQ = int(os.environ.get("LLMI_BENCH_MAX_SEQ", "1024"))
@@ -42,11 +55,15 @@ DECODE_CHUNK = int(os.environ.get("LLMI_BENCH_CHUNK", "256"))
 def build_checkpoint() -> None:
     from fixtures import build_gemma3_gguf
 
+    from llm_inference_tpu.gguf.constants import GGMLType
+
+    fmt = {"q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0,
+           "q4_k": GGMLType.Q4_K}[FMT]
     vocab = [f"t{i}" for i in range(VOCAB_SIZE)]
     vocab[1] = "<eos>"
     vocab[2] = "<bos>"
     vocab[3] = "<unk>"
-    buf = build_gemma3_gguf(vocab=vocab, seed=20260816, **GEOM)
+    buf = build_gemma3_gguf(vocab=vocab, seed=20260816, weight_fmt=fmt, **GEOM)
     tmp = CACHE.with_suffix(".tmp")
     tmp.write_bytes(buf)
     tmp.rename(CACHE)
@@ -69,7 +86,11 @@ def build_tame_checkpoint() -> Path:
         vocab[1] = "<eos>"
         vocab[2] = "<bos>"
         vocab[3] = "<unk>"
-        buf = build_gemma3_gguf(vocab=vocab, seed=20260816, weight_std=0.02, **GEOM)
+        # always the 1B Q4_0 geometry — the at-scale parity target
+        # (tests/test_parity_at_scale.py, PARITY_1B.md), independent of
+        # the LLMI_BENCH_GEOM / LLMI_BENCH_FMT bench knobs
+        buf = build_gemma3_gguf(vocab=vocab, seed=20260816, weight_std=0.02,
+                                **GEOM_1B)
         tmp = TAME_CACHE.with_suffix(".tmp")
         tmp.write_bytes(buf)
         tmp.rename(TAME_CACHE)
@@ -162,7 +183,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "decode_tok_s_gemma3_1b_q4_0",
+                "metric": f"decode_tok_s_gemma3_{GEOM_NAME}_{FMT}",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
@@ -218,7 +239,7 @@ def bench_batched(mode: str, batch: int) -> None:
     print(
         json.dumps(
             {
-                "metric": f"decode_tok_s_gemma3_1b_q4_0_batch{batch}"
+                "metric": f"decode_tok_s_gemma3_{GEOM_NAME}_{FMT}_batch{batch}"
                 + ("_paged" if kv_pages else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",

@@ -346,11 +346,14 @@ class Engine:
 
     def new_cache(self) -> KVCache:
         # serve caches are bf16 (Mosaic-native for flash decode); parity
-        # keeps the reference's exact f16 stores (model.cpp:442-459)
+        # keeps the reference's exact f16 stores (model.cpp:442-459).
+        # Capacity engines keep the cache FLAT ([L, S, heads*dim], the
+        # streamed megakernel's layout) — no per-step re-tiling.
         dtype = jnp.float16 if self.mode == "parity" else jnp.bfloat16
         return init_cache(
             self.hparams, self.max_seq,
-            sharding=self._cache_sharding, stacked=self._stacked, dtype=dtype,
+            sharding=self._cache_sharding, stacked=self._stacked,
+            flat=self._capacity, dtype=dtype,
         )
 
     def generate(

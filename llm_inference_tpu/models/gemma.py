@@ -60,18 +60,31 @@ class KVCache:
 
 
 def init_cache(hp: HParams, max_seq: int, *, sharding=None, stacked: bool = False,
-               dtype=KV_DTYPE) -> KVCache:
+               flat: bool = False, dtype=KV_DTYPE) -> KVCache:
     """Allocate zeroed caches for every layer that owns KV storage.
 
     ``stacked=True`` returns single [n_layers, max_seq, heads, dim] arrays
     (the scan-over-layers layout; requires uniform head dims).
 
+    ``flat=True`` (with stacked): [n_layers, max_seq, heads*dim] — the
+    streamed capacity megakernel's native layout. Keeping the cache flat
+    AT REST removes the per-decode-step [L,S,H,d]<->[L,S,H*d] re-tilings
+    around the kernel (measured 2.5 ms/step of reshape+copy on the 12B:
+    they also broke the decode scan's carry aliasing); the prefill scan
+    views it 4-D per layer instead (once per request).
+
     ``dtype``: f16 (default) matches the reference's cache exactly; serve
     engines use bf16 — same byte width, Mosaic-native for the flash-decode
     kernel (Mosaic has no f16 support)."""
     if stacked:
-        k = jnp.zeros((hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_k), dtype=dtype)
-        v = jnp.zeros((hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_v), dtype=dtype)
+        kshape = ((hp.n_kv_layers, max_seq, hp.n_head_kv * hp.n_embd_head_k)
+                  if flat else
+                  (hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_k))
+        vshape = ((hp.n_kv_layers, max_seq, hp.n_head_kv * hp.n_embd_head_v)
+                  if flat else
+                  (hp.n_kv_layers, max_seq, hp.n_head_kv, hp.n_embd_head_v))
+        k = jnp.zeros(kshape, dtype=dtype)
+        v = jnp.zeros(vshape, dtype=dtype)
         if sharding is not None:
             k, v = jax.device_put(k, sharding), jax.device_put(v, sharding)
         return KVCache(k=k, v=v)
@@ -413,7 +426,12 @@ def forward(
             and T == 1
         ):
             interpret = bool(os.environ.get("LLMI_FUSED_INTERPRET"))
-            if _megakernel_enabled(hp, w):
+            # flat capacity cache ([L, S, heads*dim], init_cache
+            # flat=True): only the streamed kernel speaks this layout;
+            # the whole-layer kernels never see it (the capacity engine
+            # allocates flat only when it picked the streamed path)
+            flat_cache = cache.k.ndim == 3
+            if not flat_cache and _megakernel_enabled(hp, w):
                 # single-token serve decode: the ENTIRE step as one Pallas
                 # call with hand-rolled layer-granularity double buffering
                 # (ops/pallas/fused_decode.py).
@@ -423,7 +441,7 @@ def forward(
                     hp, w, cache, tokens[0], pos, interpret=interpret
                 )
                 return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
-            if _megakernel_q_enabled(hp, w):
+            if not flat_cache and _megakernel_q_enabled(hp, w):
                 # lossless variant: group-scaled weights in the masked-dot
                 # transposed layout (ops/pallas/fused_decode_q.py).
                 from ..ops.pallas.fused_decode_q import decode_step_megakernel_q
@@ -972,8 +990,16 @@ def _forward_scan(
     dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
     pos_vec = pos + jnp.arange(T, dtype=jnp.int32)
 
+    # flat capacity cache ([L, S, heads*dim] at rest, see init_cache):
+    # view each layer's slice 4-D inside the body, flatten back for the
+    # carry — prefill-only cost; decode keeps the kernel-native layout
+    flat_cache = cache.k.ndim == 3
+
     def body(x, inputs):
         lw, k_c, v_c, rope_base, win = inputs
+        if flat_cache:
+            k_c = k_c.reshape(k_c.shape[0], hp.n_head_kv, dk)
+            v_c = v_c.reshape(v_c.shape[0], hp.n_head_kv, dv)
 
         h = _norm(x, lw.attn_norm, hp.rms_eps)
         if lw.wqkv is not None:  # load-time fusion (fuse_projections)
@@ -1018,6 +1044,9 @@ def _forward_scan(
 
         if lw.out_scale is not None:
             x = x * lw.out_scale.reshape(())
+        if flat_cache:
+            k_c = k_c.reshape(k_c.shape[0], -1)
+            v_c = v_c.reshape(v_c.shape[0], -1)
         return x, (k_c, v_c)
 
     x, (new_k, new_v) = jax.lax.scan(

@@ -761,12 +761,17 @@ def decode_step_megakernel_stream(hp, w, cache, token, pos, *, interpret=False):
         lw.post_ffw_norm.astype(f32) if has_pf else None,
         wparts,
         w.token_embd.w,
-        cache.k.reshape(L, cache.k.shape[1], -1),
-        cache.v.reshape(L, cache.v.shape[1], -1),
+        # flat capacity caches (init_cache flat=True) arrive in the
+        # kernel layout already — the per-step re-tiling reshape (and the
+        # carry-aliasing break it caused) only happens for 4-D callers
+        cache.k if cache.k.ndim == 3
+        else cache.k.reshape(L, cache.k.shape[1], -1),
+        cache.v if cache.v.ndim == 3
+        else cache.v.reshape(L, cache.v.shape[1], -1),
         eps=hp.rms_eps, attn_scale=hp.f_attention_scale,
         softcap=hp.attn_soft_cap or 0.0,
         H=hp.n_head, Hkv=hp.n_head_kv, dk=dk, dv=dv,
         has_pa=has_pa, has_pf=has_pf,
         plan_key=_freeze(plans), interpret=interpret,
     )
-    return logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape)
+    return (logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape))

@@ -11,10 +11,15 @@ tools/oracle_divergence.py + PARITY_1B.md) can hold a long stream on it,
 which makes it useless as a parity acceptance target.
 
 Opt-in (LLMI_SLOW_TESTS=1): builds/loads the ~700 MB checkpoint and runs
-the oracle + three engine modes for 100 tokens each — minutes, not
-CI-seconds. The full five-mode sweep is tools/greedy_parity.py (results
-recorded in PARITY_1B.md)."""
+the engine modes for STEPS tokens against the BAKED oracle stream
+(tests/golden/parity_1b_tame.json, produced by a trusted run of
+tools/bake_golden_parity.py — the reference's own golden-regression
+pattern, model_test.cpp:409-460). Baked, one serve mode verifies in
+~a minute on CPU; without the bake the oracle stream is recomputed
+(minutes). The full five-mode 100-step sweep is tools/greedy_parity.py
+(results recorded in PARITY_1B.md)."""
 
+import json
 import os
 import sys
 
@@ -23,21 +28,46 @@ import pytest
 
 from oracle_harness import oracle_available
 
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                           "parity_1b_tame.json")
+
 pytestmark = [
     pytest.mark.slow,
     pytest.mark.skipif(os.environ.get("LLMI_SLOW_TESTS", "0") != "1",
                        reason="slow: set LLMI_SLOW_TESTS=1"),
-    pytest.mark.skipif(not oracle_available(), reason="reference oracle unavailable"),
+    pytest.mark.skipif(
+        not (os.path.exists(GOLDEN_PATH) or oracle_available()),
+        reason="no baked golden stream and reference oracle unavailable"),
 ]
 
-STEPS = 100
+STEPS = 64
 
 _golden = None
 
 
+def _baked_stream(prompt):
+    """The committed oracle stream, if its recorded config matches."""
+    if not os.path.exists(GOLDEN_PATH):
+        return None
+    import bench
+
+    with open(GOLDEN_PATH) as f:
+        rec = json.load(f)
+    ok = (rec["checkpoint"]["seed"] == 20260816
+          and rec["checkpoint"]["weight_std"] == 0.02
+          and rec["checkpoint"]["geometry"] == bench.GEOM_1B
+          and rec["checkpoint"]["vocab_size"] == bench.VOCAB_SIZE
+          and rec["prompt"] == list(prompt)
+          and rec["steps"] >= STEPS)
+    return rec["tokens"][:STEPS] if ok else None
+
+
 def _golden_stream(prompt):
-    """Oracle greedy stream, computed once and shared across mode params."""
+    """Oracle greedy stream: the baked file when fresh, else recomputed
+    once (shared across mode params)."""
     global _golden
+    if _golden is None:
+        _golden = _baked_stream(prompt)
     if _golden is None:
         import bench
         from oracle_harness import OracleModel
@@ -66,7 +96,7 @@ def test_greedy_stream_parity_1b_geometry(mode):
     ckpt = bench.build_tame_checkpoint()
 
     rng = np.random.default_rng(0)
-    prompt = [2] + rng.integers(10, 10000, size=bench.PREFILL_LEN - 1).tolist()
+    prompt = [2] + rng.integers(10, 10000, size=31).tolist()  # pinned 32
     golden = _golden_stream(prompt)
 
     eng = Engine(str(ckpt), max_seq=256, mode=mode, decode_chunk=16)

@@ -122,12 +122,27 @@ def run_12b(generate: int, profile: bool = False) -> None:
     import jax
     import numpy as np
 
+    # persistent jit cache: repeat runs skip the multi-minute compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/llmi_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from llm_inference_tpu.engine import Engine, GenerationStats
 
     path = build("12b")
     t0 = time.time()
     eng = Engine(str(path), max_seq=1024, mode="serve-q4", decode_chunk=64)
     print(f"12B serve-q4 load: {time.time()-t0:.0f}s", flush=True)
+    # which decode path did the engine pick? (VERDICT r3: verify the
+    # streamed capacity megakernel actually fires at the 12B geometry)
+    from llm_inference_tpu.models.gemma import _megakernel_stream_enabled
+
+    stream_on = eng._capacity and _megakernel_stream_enabled(
+        eng.hparams, eng.weights, max_seq=eng.max_seq)
+    print(f"12B decode path: capacity={eng._capacity} "
+          f"streamed-megakernel={bool(stream_on)}", flush=True)
     hbm_report("after load")
     nparams = sum(
         x.size for x in jax.tree_util.tree_leaves(eng.weights)
@@ -150,6 +165,17 @@ def run_12b(generate: int, profile: bool = False) -> None:
               f"{st.decode_tok_per_s:.1f} tok/s "
               f"(prefill {st.prefill_seconds*1e3:.0f} ms)", flush=True)
         hbm_report("after generate")
+        if os.environ.get("LLMI_CAP_JSON"):
+            # sweep-consumable one-liner (tools/hw_sweep.sh capacity-12b)
+            import json
+
+            print(json.dumps({
+                "metric": "decode_tok_s_gemma3_12b_q4_0_capacity",
+                "value": round(st.decode_tok_per_s, 2),
+                "unit": "tok/s",
+                "streamed_megakernel": bool(stream_on),
+                "ttft_ms": round(st.prefill_seconds * 1e3, 1),
+            }), flush=True)
     if profile:
         profile_12b(eng)
 

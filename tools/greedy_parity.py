@@ -90,7 +90,7 @@ def main() -> int:
     buf = ckpt.read_bytes()
 
     rng = np.random.default_rng(0)
-    prompt_ids = [2] + rng.integers(10, 10000, size=bench.PREFILL_LEN - 1).tolist()
+    prompt_ids = [2] + rng.integers(10, 10000, size=31).tolist()  # pinned 32
 
     golden = oracle_stream(buf, prompt_ids, args.steps, bench.VOCAB_SIZE)
 

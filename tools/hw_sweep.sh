@@ -6,8 +6,8 @@
 # tunnel and corrupts the timing.
 set -u
 cd "$(dirname "$0")/.."
-OUT=${OUT:-/tmp/hw_sweep_r03.jsonl}
-LOG=${LOG:-/tmp/hw_sweep_r03.log}
+OUT=${OUT:-/tmp/hw_sweep_r04.jsonl}
+LOG=${LOG:-/tmp/hw_sweep_r04.log}
 : > "$LOG"
 
 run() { # run <tag> <timeout_s> <env...> -- cmd...
@@ -40,4 +40,14 @@ run batch16       900 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=16 -- python ben
 run batch32       1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 -- python bench.py
 run batch32-perop 1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 LLMI_NO_FUSED_DECODE=1 -- python bench.py
 run batch32-paged-4k 1500 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 LLMI_BENCH_PAGED=96 LLMI_BENCH_MAX_SEQ=4096 -- python bench.py
+# BASELINE config 2: other checkpoint quantizations (Q8_0 1B, Q4_K 4B —
+# the K-quant offset path of the masked-dot megakernel)
+run q8_0-serve-q    1200 LLMI_BENCH_MODE=serve-q  LLMI_BENCH_FMT=q8_0 -- python bench.py
+run q8_0-serve-q8   1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_FMT=q8_0 -- python bench.py
+run q4_k-4b-serve-q4 2400 LLMI_BENCH_MODE=serve-q4 LLMI_BENCH_FMT=q4_k LLMI_BENCH_GEOM=4b -- python bench.py
+# BASELINE config 3: 8k context at DEEP fill (7900-token prompts, decode
+# runs 7932..8188) — paged pool sized for 8 lanes x 32 blocks
+run batch8-paged-8k-deep 2400 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=8 LLMI_BENCH_PAGED=264 LLMI_BENCH_MAX_SEQ=8192 LLMI_BENCH_PREFILL=7900 -- python bench.py
+# the capacity flagship: 12B streamed megakernel (tools/capacity_demo.py)
+run capacity-12b    3000 LLMI_CAP_JSON=1 -- python tools/capacity_demo.py 12b --generate 128
 echo "sweep done -> $OUT"

@@ -66,7 +66,7 @@ def main() -> int:
     import bench
 
     rng = np.random.default_rng(0)
-    prompt = [2] + rng.integers(10, 10000, size=bench.PREFILL_LEN - 1).tolist()
+    prompt = [2] + rng.integers(10, 10000, size=31).tolist()  # pinned 32
 
     if not bench.CACHE.exists():
         bench.build_checkpoint()
