@@ -15,9 +15,11 @@ the engine modes for STEPS tokens against the BAKED oracle stream
 (tests/golden/parity_1b_tame.json, produced by a trusted run of
 tools/bake_golden_parity.py — the reference's own golden-regression
 pattern, model_test.cpp:409-460). Baked, one serve mode verifies in
-~a minute on CPU; without the bake the oracle stream is recomputed
-(minutes). The full five-mode 100-step sweep is tools/greedy_parity.py
-(results recorded in PARITY_1B.md)."""
+~7 min on CPU all-in (load+compile+decode of the 1B; the oracle leg —
+the previously unbounded part — costs nothing); without the bake the
+oracle stream is recomputed (~30 s with the compiled AVX2 oracle). CI
+runs the serve-q8 mode as its own job. The full five-mode 100-step
+sweep is tools/greedy_parity.py (results recorded in PARITY_1B.md)."""
 
 import json
 import os
