@@ -61,6 +61,66 @@ def parse_reference_dump(text: str) -> list[DumpRecord]:
     return records
 
 
+_EC_HDR = re.compile(
+    r"^(?P<name>[^=]+?)\s*=\s*\((?P<dtype>\w+)\)\s*(?P<op>\w+)?.*"
+    r"\{(?P<shape>[\d,\s]+)\}\s*$")
+
+
+def parse_eval_callback_dump(text: str) -> list[DumpRecord]:
+    """Parse llama.cpp's ``llama-eval-callback`` output into DumpRecords —
+    the reference's golden-model leg (diff_with_llama_cpp.sh:17-24 pipes
+    this format through compare_tensors.py after normalizing it).
+
+    Normalizations applied here, mirroring the reference's sed lines:
+      - strip the ``ggml_debug: `` / ``common_debug_cb_eval: `` prefix
+        (anything before the first colon+whitespace);
+      - rename ``<X>cur-<i> = (f32) ROPE(...)`` headers to
+        ``<X>cur-<i> (post rope)`` so they align with the reference
+        engine's tap names (diff_with_llama_cpp.sh:26).
+
+    Header lines look like
+    ``Qcur-0 = (f32) ROPE(Qcur-0 (reshaped){128, 4, 7, 1}, ...) = {128, 4, 7, 1}``
+    — name before the first '=', shape from the LAST {...} group; then
+    bracketed corner-value rows; ``sum = X`` ends the block."""
+    records: list[DumpRecord] = []
+    current: DumpRecord | None = None
+    prefix = re.compile(r"^[^:\s]+:\s+")
+    rope_hdr = re.compile(r"^(?P<base>\w*cur-\d+)\s*=\s*\(f32\)\s*ROPE\b")
+    for line in text.splitlines():
+        line = prefix.sub("", line)
+        s = _SUM.match(line)
+        if s and current is not None:
+            try:
+                current.total = float(s.group("sum"))
+            except ValueError:
+                current.total = float("nan")
+            current = None
+            continue
+        m = _EC_HDR.match(line)
+        if m and not line.lstrip().startswith("["):
+            name = m.group("name").strip()
+            r = rope_hdr.match(line)
+            if r:
+                name = f"{r.group('base')} (post rope)"
+            shape = tuple(int(x) for x in m.group("shape").split(","))
+            current = DumpRecord(name=name, shape=shape, total=float("nan"),
+                                 corners=[])
+            records.append(current)
+            continue
+        if current is None:
+            continue
+        stripped = line.strip()
+        if stripped.startswith("[") and any(c.isdigit() for c in stripped):
+            for tok in stripped.strip("[],").split(","):
+                tok = tok.strip().rstrip("],")
+                if tok and tok != "...":
+                    try:
+                        current.corners.append(float(tok))
+                    except ValueError:
+                        pass
+    return records
+
+
 def corner_sample(arr: np.ndarray) -> np.ndarray:
     """Sample an array exactly like the reference's tensor printer
     (print_tensor_generic, reference tensor.h:48-70): per axis, the first
@@ -146,6 +206,37 @@ def format_comparison_report(
     lines.append("")
     lines.append(f"OVERALL AVG MSE: {avg:.6e}")
     return "\n".join(lines)
+
+
+def mse_logplot(comparisons: list[TensorComparison], *, width: int = 64,
+                rows: int = 12) -> str:
+    """Text log-scale MSE-vs-tensor-index plot — the artifact form of the
+    reference comparer's matplotlib figure (compare_tensors.py:150-202:
+    log-y MSE over forward-pass order shows WHERE error grows)."""
+    if not comparisons:
+        return "(no tensors)"
+    mses = np.array([max(c.value_mse, 0.0) for c in comparisons])
+    floor = 1e-12
+    logs = np.log10(np.maximum(mses, floor))
+    lo, hi = float(logs.min()), float(logs.max())
+    if hi - lo < 1e-9:
+        hi = lo + 1.0
+    n = len(logs)
+    # bucket tensor indices into `width` columns, max-pool each column
+    cols = np.full(width, -np.inf)
+    for i, v in enumerate(logs):
+        cols[min(i * width // n, width - 1)] = max(
+            cols[min(i * width // n, width - 1)], v)
+    grid = []
+    for r in range(rows):
+        level = hi - (hi - lo) * r / (rows - 1)
+        # mark every column whose max MSE reaches this row's level
+        line = "".join("*" if c >= level else " " for c in cols)
+        grid.append(f"1e{level:+06.1f} |{line}")
+    grid.append(" " * 8 + "+" + "-" * width)
+    grid.append(" " * 9 + f"tensor index 0..{n - 1} (forward-pass order), "
+                "log10 value-MSE")
+    return "\n".join(grid)
 
 
 @dataclasses.dataclass

@@ -147,3 +147,49 @@ def test_gemma4_activation_checksums_match_reference():
     assert divergences == [], "\n".join(
         f"{d.name}: ref={d.ref_sum} ours={d.our_sum} rel={d.rel_diff:.2e}" for d in divergences
     )
+
+
+def test_parse_eval_callback_dump():
+    """llama.cpp llama-eval-callback format (the reference's golden leg,
+    diff_with_llama_cpp.sh): prefix stripping, ROPE header rename,
+    corner values, sum."""
+    dump = """\
+ggml_debug:                 inp_embd = (f32)  GET_ROWS(token_embd.weight{32, 10, 1, 1}, inp_tokens}) = {32, 3, 1, 1}
+ggml_debug:                              [
+ggml_debug:                               [
+ggml_debug:                                [  0.1000,   0.2000,   0.3000, ...,  -0.5000],
+ggml_debug:                               ],
+ggml_debug:                              ]
+ggml_debug:                              sum = 1.234500
+common_debug_cb_eval:       Qcur-0 = (f32)     ROPE(Qcur-0 (reshaped){8, 2, 3, 1}, inp_pos}) = {8, 2, 3, 1}
+common_debug_cb_eval:                        [
+common_debug_cb_eval:                         [
+common_debug_cb_eval:                          [  1.5000,  -2.2500],
+common_debug_cb_eval:                         ],
+common_debug_cb_eval:                        ]
+common_debug_cb_eval:                        sum = -0.750000
+"""
+    recs = parity.parse_eval_callback_dump(dump)
+    assert [r.name for r in recs] == ["inp_embd", "Qcur-0 (post rope)"]
+    assert recs[0].shape == (32, 3, 1, 1)
+    assert recs[0].total == 1.2345
+    assert recs[0].corners == [0.1, 0.2, 0.3, -0.5]
+    assert recs[1].total == -0.75
+    assert recs[1].corners == [1.5, -2.25]
+
+    # the records align with our trace names through compare_values
+    ours = [("inp_embd", np.array([[0.1, 0.2, 0.3, -0.5]])),
+            ("Qcur-0 (post rope)", np.array([1.5, -2.25]))]
+    comps = parity.compare_values(recs, ours)
+    assert len(comps) == 2
+    assert all(c.value_mse < 1e-12 for c in comps)
+
+
+def test_mse_logplot_renders():
+    comps = [
+        parity.TensorComparison(name=f"t{i}", index=i, sum_diff=0.0,
+                                value_mse=10.0 ** (-8 + i % 5), n_values=6)
+        for i in range(40)
+    ]
+    plot = parity.mse_logplot(comps)
+    assert "log10 value-MSE" in plot and "*" in plot

@@ -30,6 +30,19 @@ def main() -> int:
     ap.add_argument("--chat", action="store_true", help="apply the chat template")
     ap.add_argument("--rel-tol", type=float, default=1e-3)
     ap.add_argument("--top", type=int, default=10)
+    ap.add_argument("--ref-dump", default=None,
+                    help="use a saved verbose dump FILE as the reference "
+                         "instead of running the compiled oracle — e.g. "
+                         "llama.cpp's llama-eval-callback output (the "
+                         "reference's own golden leg, "
+                         "diff_with_llama_cpp.sh)")
+    ap.add_argument("--dump-format", choices=["reference", "eval-callback"],
+                    default="reference",
+                    help="format of --ref-dump: the reference engine's -v "
+                         "print_tensor dump, or llama.cpp eval-callback")
+    ap.add_argument("--out", default=None,
+                    help="also write the comparison report (incl. the "
+                         "log-MSE plot) to this file")
     args = ap.parse_args()
 
     import jax
@@ -50,24 +63,31 @@ def main() -> int:
     ids = tok.encode(args.prompt, args.chat).ids
     print(f"tokens: {ids}", file=sys.stderr)
 
-    lib = get_oracle()
-    lib.oracle_set_verbose.argtypes = [ctypes.c_int]
-    ref = OracleModel(buf)
-    lib.oracle_set_verbose(1)
-    with tempfile.NamedTemporaryFile(mode="w+") as tf:
-        saved = os.dup(1)
-        os.dup2(tf.fileno(), 1)
-        try:
-            ref.forward(ids, 0, hp.vocab_size)
-        finally:
-            sys.stdout.flush()
-            os.dup2(saved, 1)
-            os.close(saved)
-        tf.seek(0)
-        dump = tf.read()
-    lib.oracle_set_verbose(0)
-    ref.close()
-    ref_records = parity.parse_reference_dump(dump)
+    if args.ref_dump:
+        dump = open(args.ref_dump).read()
+        parse = (parity.parse_eval_callback_dump
+                 if args.dump_format == "eval-callback"
+                 else parity.parse_reference_dump)
+        ref_records = parse(dump)
+    else:
+        lib = get_oracle()
+        lib.oracle_set_verbose.argtypes = [ctypes.c_int]
+        ref = OracleModel(buf)
+        lib.oracle_set_verbose(1)
+        with tempfile.NamedTemporaryFile(mode="w+") as tf:
+            saved = os.dup(1)
+            os.dup2(tf.fileno(), 1)
+            try:
+                ref.forward(ids, 0, hp.vocab_size)
+            finally:
+                sys.stdout.flush()
+                os.dup2(saved, 1)
+                os.close(saved)
+            tf.seek(0)
+            dump = tf.read()
+        lib.oracle_set_verbose(0)
+        ref.close()
+        ref_records = parity.parse_reference_dump(dump)
     print(f"reference: {len(ref_records)} named tensors", file=sys.stderr)
 
     session = trace.enable_trace("/tmp/llmi_compare_trace.npz")
@@ -79,7 +99,13 @@ def main() -> int:
     # the reference comparer's own report: per-tensor |dsum| + corner-value
     # MSE with name/sequence alignment, top offenders, overall average
     comps = parity.compare_values(ref_records, session.records)
-    print(parity.format_comparison_report(comps, top=args.top))
+    report = parity.format_comparison_report(comps, top=args.top)
+    report += "\n\n" + parity.mse_logplot(comps)
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report + "\n")
+        print(f"\nreport -> {args.out}", file=sys.stderr)
 
     div = parity.compare_sums(ref_records, session.records, rel_tol=args.rel_tol)
     if not div:

@@ -56,13 +56,26 @@ def matmul_params(w) -> int:
 
 
 def prefill_roofline(eng, buckets=(32, 64, 128, 256, 512), reps=8):
-    """MXU utilization of the bucketed prefill: FLOPs = 2 * T * params,
-    measured against the bf16 peak (BASELINE.md names p50 TTFT / slow
-    prefill a headline axis; reference README.md:19 admits token-by-token
-    prefill)."""
+    """Bucketed-prefill accounting: wall TTFT, DEVICE time (traced), MXU
+    utilization of the device time (FLOPs = 2 * T * params), and the
+    dispatch gap (wall - device: host + tunnel round trip — through the
+    axon tunnel one dispatch costs ~31-35 ms, the single-stream TTFT
+    floor). BASELINE.md names p50 TTFT a headline axis; the reference
+    admits token-by-token prefill (README.md:19)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    def one_prefill(prompt, T):
+        if getattr(eng, "_prefill_fresh", None) is not None:
+            tok, _, cache = eng._prefill_fresh(
+                eng.weights, jnp.asarray(prompt), jnp.int32(T), eng._base_key)
+        else:
+            cache = eng.new_cache()
+            tok, _, cache = eng._prefill(
+                eng.weights, cache, jnp.asarray(prompt), jnp.int32(0),
+                jnp.int32(T), eng._base_key)
+        return tok
 
     params = matmul_params(eng.weights)
     rows = []
@@ -73,22 +86,25 @@ def prefill_roofline(eng, buckets=(32, 64, 128, 256, 512), reps=8):
         prompt = np.zeros(T, dtype=np.int32)
         prompt[:] = rng.integers(10, 10000, size=T)
         prompt[0] = 2
-        cache = eng.new_cache()
         # compile + settle
-        tok, _, cache = eng._prefill(eng.weights, cache, jnp.asarray(prompt),
-                                     jnp.int32(0), jnp.int32(T), eng._base_key)
-        jax.block_until_ready(tok)
+        jax.block_until_ready(one_prefill(prompt, T))
+        trace_dir = f"/tmp/llmi_prefill_rl_{T}"
+        os.system(f"rm -rf {trace_dir}")
+        jax.profiler.start_trace(trace_dir)
         t0 = time.perf_counter()
         for _ in range(reps):
-            cache = eng.new_cache()
-            tok, _, cache = eng._prefill(
-                eng.weights, cache, jnp.asarray(prompt), jnp.int32(0),
-                jnp.int32(T), eng._base_key)
-            jax.block_until_ready(tok)
+            jax.block_until_ready(one_prefill(prompt, T))
         dt = (time.perf_counter() - t0) / reps
+        jax.profiler.stop_trace()
+        try:
+            _, _, _, total_us = parse_trace(trace_dir, reps)
+            dev_ms = total_us / reps / 1e3
+        except Exception:
+            dev_ms = float("nan")
         flops = 2.0 * T * params
-        mfu = flops / dt / (MXU_TFLOPS * 1e12)
-        rows.append((T, dt * 1e3, flops / 1e9, 100 * mfu, T / dt))
+        mfu = flops / (dev_ms * 1e-3) / (MXU_TFLOPS * 1e12) if dev_ms else 0.0
+        rows.append((T, dt * 1e3, dev_ms, dt * 1e3 - dev_ms, flops / 1e9,
+                     100 * mfu, T / dt))
     return rows
 
 
@@ -411,14 +427,18 @@ def main():
         lines.append(f"| `{name[:70]}` | {us/steps:.1f} | {n/steps:.1f} | {us/max(n,1):.1f} |")
 
     if not args.no_prefill:
-        lines.append("\n## Prefill MFU (bucketed prompt lengths)\n")
+        lines.append("\n## Prefill (bucketed prompt lengths)\n")
         lines.append(f"bf16 MXU peak assumed {MXU_TFLOPS} TFLOP/s (v5e). "
-                     "FLOPs = 2 x T x matmul params. TTFT for a prompt of "
-                     "length T is ~the bucket row's ms (single dispatch).\n")
-        lines.append("| bucket | ms | GFLOPs | MFU | prefill tok/s |")
-        lines.append("|---|---|---|---|---|")
-        for T, ms, gf, mfu, tps in prefill_roofline(eng):
-            lines.append(f"| {T} | {ms:.2f} | {gf:.1f} | {mfu:.1f}% | {tps:.0f} |")
+                     "FLOPs = 2 x T x matmul params; MFU is of DEVICE time. "
+                     "TTFT for a prompt of length T = the bucket's wall ms "
+                     "(one dispatch: the gap column is host + tunnel round "
+                     "trip, the latency floor of this setup).\n")
+        lines.append("| bucket | wall ms | device ms | dispatch gap ms "
+                     "| GFLOPs | MFU(dev) | prefill tok/s (wall) |")
+        lines.append("|---|---|---|---|---|---|---|")
+        for T, ms, dev, gap, gf, mfu, tps in prefill_roofline(eng):
+            lines.append(f"| {T} | {ms:.2f} | {dev:.2f} | {gap:.2f} "
+                         f"| {gf:.1f} | {mfu:.1f}% | {tps:.0f} |")
 
     out = "\n".join(lines)
     print(out)
