@@ -105,8 +105,10 @@ class Engine:
         if tp_mesh is not None:
             if sharding_fn is not None:
                 raise ValueError("tp_mesh and sharding_fn are mutually exclusive")
-            if mode != "serve-q8":
-                raise ValueError("tp_mesh requires mode='serve-q8' (rowq8 kernel)")
+            if mode not in ("serve-q8", "serve-q", "serve-q4"):
+                raise ValueError(
+                    "tp_mesh requires mode 'serve-q8' (rowq8 TP kernel) or "
+                    "'serve-q'/'serve-q4' (maskdot TP kernel)")
         self.gguf = gguf
         self.mode = mode
         exact = mode == "parity"
@@ -248,8 +250,13 @@ class Engine:
                 cand = None
                 if megakernel_q_supported(self.hparams, stacked):
                     # the transform itself is a full transient weight copy;
-                    # never attempt it on an ineligible (e.g. 12B) layer set
-                    cand = maskdot_layers(stacked, q4=(mode == "serve-q4"))
+                    # never attempt it on an ineligible (e.g. 12B) layer set.
+                    # Under TP the contraction-sharded parts pick a block
+                    # size whose whole blocks divide the shard
+                    # (fused_decode_q_tp.py).
+                    cand = maskdot_layers(
+                        stacked, q4=(mode == "serve-q4"),
+                        shard=tp_mesh.shape["model"] if tp_mesh is not None else 1)
                 if cand is not None and _megakernel_q_enabled(self.hparams, cand):
                     self.weights = cand
                 else:
@@ -267,20 +274,42 @@ class Engine:
                 else:
                     self._stacked = False
         self._tp = None
+        self._tp_q = False
         if tp_mesh is not None:
-            from .ops.pallas.fused_decode_tp import (
-                shard_rowq8_for_tp,
-                tp_megakernel_supported,
-            )
-
             n_tp = tp_mesh.shape["model"]
-            if not (self._stacked and not self._capacity
-                    and tp_megakernel_supported(self.hparams, self.weights, n_tp)):
-                raise ValueError(
-                    "checkpoint/geometry not eligible for the TP megakernel "
-                    "(needs stacked rowq8 layers and clean head/vocab/ffn "
-                    f"splits over {n_tp} devices)")
-            packed_tp, geom_tp = shard_rowq8_for_tp(self.hparams, self.weights, n_tp)
+            if mode == "serve-q8":
+                from .ops.pallas.fused_decode_tp import (
+                    shard_rowq8_for_tp,
+                    tp_megakernel_supported,
+                )
+
+                if not (self._stacked and not self._capacity
+                        and tp_megakernel_supported(self.hparams, self.weights, n_tp)):
+                    raise ValueError(
+                        "checkpoint/geometry not eligible for the TP megakernel "
+                        "(needs stacked rowq8 layers and clean head/vocab/ffn "
+                        f"splits over {n_tp} devices)")
+                packed_tp, geom_tp = shard_rowq8_for_tp(
+                    self.hparams, self.weights, n_tp)
+            else:
+                # serve-q / serve-q4: the lossless maskdot TP megakernel
+                # (ops/pallas/fused_decode_q_tp.py) — the 27B-class
+                # capacity format sharded with in-kernel all-reduces
+                from .ops.pallas.fused_decode_q_tp import (
+                    shard_maskdot_for_tp,
+                    tp_megakernel_q_supported,
+                )
+
+                if not (self._stacked and not self._capacity
+                        and tp_megakernel_q_supported(self.hparams, self.weights, n_tp)):
+                    raise ValueError(
+                        "checkpoint/geometry not eligible for the TP maskdot "
+                        "megakernel (needs stacked transposed group-scaled "
+                        "layers and whole-block head/ffn/vocab splits over "
+                        f"{n_tp} devices)")
+                packed_tp, geom_tp = shard_maskdot_for_tp(
+                    self.hparams, self.weights, n_tp)
+                self._tp_q = True
             self._tp = (tp_mesh, packed_tp, geom_tp)
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq
@@ -328,10 +357,19 @@ class Engine:
 
         if self._tp is not None:
             # TP decode: one Pallas call per chip per step with in-kernel
-            # all-reduces (ops/pallas/fused_decode_tp.py). Prefill keeps
-            # the replicated XLA path above.
+            # all-reduces (ops/pallas/fused_decode_tp.py rowq8 /
+            # fused_decode_q_tp.py maskdot). Prefill keeps the replicated
+            # XLA path above.
             from .models.gemma import softcap as _softcap
-            from .ops.pallas.fused_decode_tp import decode_step_megakernel_tp
+
+            if self._tp_q:
+                from .ops.pallas.fused_decode_q_tp import (
+                    decode_step_megakernel_q_tp as _tp_step,
+                )
+            else:
+                from .ops.pallas.fused_decode_tp import (
+                    decode_step_megakernel_tp as _tp_step,
+                )
 
             mesh_tp, packed_tp, geom_tp = self._tp
             interp = (jax.default_backend() != "tpu"
@@ -340,7 +378,7 @@ class Engine:
             def _decode_chunk_tp(packed, w, cache, token, pos, key):
                 def body(carry, _):
                     cache, tok, p = carry
-                    logits, kc, vc = decode_step_megakernel_tp(
+                    logits, kc, vc = _tp_step(
                         hp, packed, geom_tp, w, cache, tok, p,
                         mesh=mesh_tp, interpret=interp)
                     logits = _softcap(logits, hp.final_logit_softcap)

@@ -282,7 +282,8 @@ def stack_layers(layers: tuple[LayerWeights, ...]) -> LayerWeights:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def maskdot_layers(model: ModelWeights, *, q4: bool = False) -> Optional[ModelWeights]:
+def maskdot_layers(model: ModelWeights, *, q4: bool = False,
+                   shard: int = 1) -> Optional[ModelWeights]:
     """Repack a STACKED model's layer weights into the masked-dot
     transposed layout (quant/device.py TQuantTensor) consumed by the
     lossless whole-step decode megakernel (ops/pallas/fused_decode_q.py).
@@ -291,7 +292,11 @@ def maskdot_layers(model: ModelWeights, *, q4: bool = False) -> Optional[ModelWe
 
     ``q4=True`` (the serve-q4 capacity mode) additionally nibble-packs
     4-bit encodings to TQ4Tensor (0.5 B/weight, block-paired layout);
-    non-4-bit parts (e.g. a Q6_K down-projection) stay TQuantTensor."""
+    non-4-bit parts (e.g. a Q6_K down-projection) stay TQuantTensor.
+
+    ``shard``: TP way-count — the contraction-sharded parts (wo, w_down)
+    pick a block size whose whole blocks divide a 1/shard slice
+    (ops/pallas/fused_decode_q_tp.py shard_maskdot_for_tp)."""
     import dataclasses as _dc
 
     from ..quant.device import (
@@ -312,7 +317,9 @@ def maskdot_layers(model: ModelWeights, *, q4: bool = False) -> Optional[ModelWe
             qt = unpack_q4_to_quant(qt)
         if not isinstance(qt, QuantTensor) or qt.groups <= 1:
             return None
-        t = transpose_for_maskdot(qt)
+        # only wo/w_down get contraction-sharded under TP
+        t = transpose_for_maskdot(
+            qt, shard=shard if f in ("wo", "w_down") else 1)
         if t is None:
             return None
         if q4:

@@ -563,7 +563,12 @@ def decode_step_megakernel_q(hp, w, cache, token, pos, *, interpret=False):
         + ((wt.offT,) if wt.offT is not None else ())
         for wt, pk in zip(weights, packed)
     )
-    geoms = tuple(maskdot_block_geom(wt.cols, wt.group_size) for wt in weights)
+    # the tensor's OWN block geometry — a shard-aware repack
+    # (maskdot_layers shard=n) may have picked a smaller bg than
+    # maskdot_block_geom's cols-only default, and the sign-hi scale
+    # folding is baked to it
+    geoms = tuple(
+        (wt.bg, wt.bg * wt.group_size, wt.n_blocks, wt.mp) for wt in weights)
     gss = tuple(wt.group_size for wt in weights)
     has_off = tuple(wt.offT is not None for wt in weights)
     centered = tuple(getattr(wt, "centered", False) for wt in weights)

@@ -354,21 +354,30 @@ class Q4Tensor:
         return w.reshape(self.rows, self.cols).astype(dtype)
 
 
-def maskdot_block_geom(cols: int, group_size: int) -> Optional[tuple[int, int, int, int]]:
+def maskdot_block_geom(cols: int, group_size: int,
+                       shard: int = 1) -> Optional[tuple[int, int, int, int]]:
     """Contraction-block geometry for the masked-dot lossless matmul
     (ops/pallas/fused_decode_q.py): split the C columns into blocks of
     BG groups (BG*group_size columns each) so the per-block group-partial
     dot rides the MXU's A-operand sublane slot (M = BG <= 16).
 
+    ``shard > 1``: pick the largest BG whose block ALSO divides a 1/shard
+    contraction slice — the TP megakernel (fused_decode_q_tp.py) shards
+    wo/w_down by whole contraction blocks, so the sign-hi scale folding
+    (TQ4Tensor) survives the slice.
+
     Returns (BG, BC, n_blocks, Mp) — Mp is BG padded to the f32 sublane
     tile (8) so block slices of the padded transposed scale stay aligned —
-    or None when no block size divides ``cols``.
+    or None when no block size divides ``cols`` (and the shard slice).
     """
     for bg in (16, 12, 8, 4):
         bc = bg * group_size
-        if cols % bc == 0:
-            mp = bg if bg % 8 == 0 else ((bg + 7) // 8) * 8
-            return bg, bc, cols // bc, mp
+        if cols % bc:
+            continue
+        if shard > 1 and (cols % shard or (cols // shard) % bc):
+            continue
+        mp = bg if bg % 8 == 0 else ((bg + 7) // 8) * 8
+        return bg, bc, cols // bc, mp
     return None
 
 
@@ -437,11 +446,13 @@ class TQuantTensor:
         return w.reshape(lead + (self.rows, self.cols)).astype(dtype)
 
 
-def transpose_for_maskdot(qt: QuantTensor) -> Optional[TQuantTensor]:
+def transpose_for_maskdot(qt: QuantTensor,
+                          shard: int = 1) -> Optional[TQuantTensor]:
     """One-time repack of a (stacked or single) QuantTensor into the
     masked-dot transposed layout. Returns None when no block geometry
-    divides the columns. Exact: only device transposes/zero-padding."""
-    geom = maskdot_block_geom(qt.cols, qt.group_size)
+    divides the columns. Exact: only device transposes/zero-padding.
+    ``shard``: see maskdot_block_geom (TP whole-block slices)."""
+    geom = maskdot_block_geom(qt.cols, qt.group_size, shard)
     if geom is None:
         return None
     bg, bc, nblk, mp = geom
