@@ -35,7 +35,9 @@ def sample(logits: Array, cfg: SamplingConfig, key: Array | None = None) -> Arra
     logits = logits / jnp.float32(cfg.temperature)
 
     if cfg.top_k and cfg.top_k > 0:
-        kth = jax.lax.top_k(logits, cfg.top_k)[0][-1]
+        # a top_k >= vocab is a no-op, not an error (tiny test vocabs)
+        k = min(cfg.top_k, logits.shape[-1])
+        kth = jax.lax.top_k(logits, k)[0][-1]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
 
     if cfg.top_p < 1.0:

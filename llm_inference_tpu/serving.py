@@ -77,6 +77,8 @@ class BatchedServer:
         sharding_fn=None,
         cache_sharding=None,
         kv_pages: Optional[int] = None,
+        sampling=None,
+        seed: int = 0,
     ):
         """``kv_pages``: enable the PAGED KV cache — a shared pool of
         ``kv_pages`` pages of 256 tokens per KV layer, so HBM capacity
@@ -85,11 +87,41 @@ class BatchedServer:
         geometry is ~35 GB; pages make that configuration fit one chip).
         Requests allocate ceil((prompt+n_predict+chunk)/256) pages at
         admission and free them at retirement; admission waits when the
-        pool is exhausted. Serve modes only (parity keeps dense lanes)."""
+        pool is exhausted. Serve modes only (parity keeps dense lanes).
+
+        ``sampling``: a SamplingConfig for stochastic decoding (per-lane
+        keys derived from (seed, slot, position) — deterministic given
+        the seed, independent across lanes). Greedy (the default, the
+        reference's only sampler) keeps the batched megakernel's
+        in-kernel argmax fast path; stochastic sampling routes through
+        the per-op batched program's [B, vocab] logits. Parity mode is
+        greedy by contract."""
+        from .sampling import SamplingConfig, sample as _sample
+
         if isinstance(gguf, str):
             gguf = GGUFFile(gguf)
         self.mode = mode
         exact = mode == "parity"
+        self.sampling = cfg = sampling if sampling is not None else SamplingConfig()
+        if exact and not cfg.is_greedy:
+            raise ValueError("parity mode is greedy by contract")
+        self._base_key = jax.random.PRNGKey(seed)
+        base_key = self._base_key
+
+        def pick_one(logits, slot, position):
+            # [vocab] -> token id; slot/position make the key unique per
+            # (lane, step) and reproducible given the server seed
+            if cfg.is_greedy:
+                return jnp.argmax(logits).astype(jnp.int32)
+            k = jax.random.fold_in(jax.random.fold_in(base_key, slot), position)
+            return _sample(logits, cfg, k)
+
+        def pick_batch(logits, slots, positions):
+            # [B, vocab] -> [B] token ids
+            if cfg.is_greedy:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jax.vmap(lambda lg, s, p: pick_one(lg, s, p))(
+                logits, slots, positions)
         load_modes = {
             "serve": "bf16",
             "serve-q": "packed-serve",
@@ -125,7 +157,7 @@ class BatchedServer:
             logits, one = forward(hp, w, one, tokens, pos, n_valid,
                                   exact=exact, mm_impl="xla")
             caches = jax.tree_util.tree_map(lambda c, s: c.at[slot].set(s), caches, one)
-            return jnp.argmax(logits).astype(jnp.int32), caches
+            return pick_one(logits, slot, n_valid), caches
 
         def _prefill_group(w, caches, slots, tokens, n_valids):
             # serve modes: admit a whole group in ONE dispatch — a vmapped
@@ -134,12 +166,12 @@ class BatchedServer:
             # n_valid = 0: their cache writes drop and outputs are ignored.
             lanes = jax.tree_util.tree_map(lambda c: c[slots], caches)
 
-            def one(lane, toks, nv):
+            def one(lane, toks, nv, slot):
                 logits, lane = forward(hp, w, lane, toks, 0, nv,
                                        exact=exact, mm_impl="xla")
-                return jnp.argmax(logits).astype(jnp.int32), lane
+                return pick_one(logits, slot, nv), lane
 
-            toks_out, lanes = jax.vmap(one)(lanes, tokens, n_valids)
+            toks_out, lanes = jax.vmap(one)(lanes, tokens, n_valids, slots)
             # mode="drop": padded group members carry slot == max_batch
             # (out of bounds) so their stale lanes never scatter back
             caches = jax.tree_util.tree_map(
@@ -171,10 +203,12 @@ class BatchedServer:
             # serve modes: ONE batched program per step — single [B, .]
             # GEMMs over the weights and ragged flash-decode attention
             # (models/gemma.py forward_batched_decode)
+            slots_b = jnp.arange(tokens.shape[0], dtype=jnp.int32)
+
             def body(carry, _):
                 c, toks, p = carry
                 logits, c = forward_batched_decode(hp, w, c, toks, p)
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                nxt = pick_batch(logits, slots_b, p)
                 return (c, nxt, p + 1), nxt
 
             (c, _, _), toks = jax.lax.scan(body, (caches, tokens, pos), None,
@@ -197,6 +231,7 @@ class BatchedServer:
         self._mega_batch = False
         if (
             mode == "serve-q8"
+            and cfg.is_greedy  # stochastic sampling needs the logits
             and sharding_fn is None
             and kv_pages is None
             and not swa_active(hp)  # megakernels keep the no-mask contract
@@ -320,11 +355,13 @@ class BatchedServer:
             self._free_pages: list[int] = list(range(kv_pages))
 
             def _chunk_paged(w, pools, table, tokens, pos):
+                slots_b = jnp.arange(tokens.shape[0], dtype=jnp.int32)
+
                 def body(carry, _):
                     c, toks, p = carry
                     logits, c = forward_batched_decode_paged(
                         hp, w, c, table, toks, p, ring_layers=ring_layers)
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    nxt = pick_batch(logits, slots_b, p)
                     return (c, nxt, p + 1), nxt
 
                 if os.environ.get("LLMI_PAGED_UNROLL", "0") == "1":
@@ -378,7 +415,7 @@ class BatchedServer:
                             mode="drop")
                 from .models.gemma import KVCache as _KV
 
-                return (jnp.argmax(logits).astype(jnp.int32),
+                return (pick_one(logits, slot, n_valid),
                         _KV(k=tuple(nk), v=tuple(nv)))
 
             def _prefill_paged_group(w, pools, pages, tokens, n_valids, slots):
@@ -394,13 +431,13 @@ class BatchedServer:
                 G, bucket = tokens.shape
                 nbk = pages.shape[1]
 
-                def one(toks, nv):
+                def one(toks, nv, slot):
                     scratch = init_cache(hp, max(bucket, 16), dtype=kv_dtype)
                     logits, scratch = forward(hp, w, scratch, toks, 0, nv,
                                               exact=False, mm_impl="xla")
-                    return jnp.argmax(logits).astype(jnp.int32), scratch
+                    return pick_one(logits, slot, nv), scratch
 
-                toks_out, scratch = jax.vmap(one)(tokens, n_valids)
+                toks_out, scratch = jax.vmap(one)(tokens, n_valids, slots)
                 pages_flat = pages.reshape(-1)
                 last_blk = jnp.maximum(n_valids - 1, 0) // PAGE  # [G]
                 js = jnp.arange(nbk, dtype=jnp.int32)  # [nbk]

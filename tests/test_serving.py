@@ -174,3 +174,36 @@ def test_paged_submit_rejects_unservable_request(model_buf):
         server.submit([2] * 8, n_predict=300)
     # a pool-sized request is fine
     server.submit([2] * 8, n_predict=100)
+
+
+def test_batched_server_sampled_decoding(model_buf):
+    buf = model_buf
+    """temperature > 0 routes through SamplingConfig with per-(slot, pos)
+    keys: reproducible given the seed, and the greedy megakernel fast
+    path is bypassed (VERDICT r3 #9)."""
+    from llm_inference_tpu.sampling import SamplingConfig
+
+    reqs = [([2, 7, 8, 9], 8), ([2, 12, 9], 8)]
+    cfg = SamplingConfig(temperature=0.8, top_k=40)
+    srv1 = BatchedServer(GGUFFile(buf), max_seq=64, max_batch=2,
+                         mode="serve", decode_chunk=4, sampling=cfg, seed=7)
+    assert not srv1._mega_batch  # stochastic sampling needs the logits
+    out1 = srv1.run([(list(p), n) for p, n in reqs])
+    srv2 = BatchedServer(GGUFFile(buf), max_seq=64, max_batch=2,
+                         mode="serve", decode_chunk=4, sampling=cfg, seed=7)
+    out2 = srv2.run([(list(p), n) for p, n in reqs])
+    assert out1 == out2  # deterministic given the seed
+
+    greedy = BatchedServer(GGUFFile(buf), max_seq=64, max_batch=2,
+                           mode="serve", decode_chunk=4).run(
+        [(list(p), n) for p, n in reqs])
+    assert out1 != greedy  # the temperature actually bites
+
+
+def test_batched_server_parity_rejects_sampling(model_buf):
+    buf = model_buf
+    from llm_inference_tpu.sampling import SamplingConfig
+
+    with pytest.raises(ValueError):
+        BatchedServer(GGUFFile(buf), max_seq=64, max_batch=2, mode="parity",
+                      sampling=SamplingConfig(temperature=0.5))
