@@ -113,10 +113,11 @@ def main(argv: list[str] | None = None) -> int:
         # top-10 first-step logits (reference main.cpp:175-190)
         import numpy as np
 
-        order = np.argsort(stats.first_logits)[::-1][:10]
+        first_logits = np.asarray(stats.first_logits)  # lazy device fetch
+        order = np.argsort(first_logits)[::-1][:10]
         print("\nTop 10 most likely tokens:", file=sys.stderr)
         for tid in order:
-            print(f"{tok.piece(int(tid))}: {stats.first_logits[tid]:.4f} {int(tid)}",
+            print(f"{tok.piece(int(tid))}: {first_logits[tid]:.4f} {int(tid)}",
                   file=sys.stderr)
 
     if state["thinking"]:

@@ -64,7 +64,9 @@ class GenerationStats:
     prefill_seconds: float = 0.0
     decode_seconds: float = 0.0
     decode_steps: int = 0  # device steps executed (>= generated_tokens)
-    first_logits: Optional[np.ndarray] = None  # captured for -v top-10 dump
+    # captured for the -v top-10 dump; a DEVICE array (np-convert lazily —
+    # an eager fetch would add a host round trip to every TTFT)
+    first_logits: Optional[np.ndarray] = None
 
     @property
     def decode_tok_per_s(self) -> float:
@@ -311,6 +313,47 @@ class Engine:
                     self.hparams, self.weights, n_tp)
                 self._tp_q = True
             self._tp = (tp_mesh, packed_tp, geom_tp)
+        # Prefill operand cache for the masked-dot modes: the XLA prefill
+        # path dequantizes every packed projection IN-GRAPH on every
+        # prefill (ops/linear.py TQuantTensor branch) — measured 10-12.6 ms
+        # of device time per bucket-32..512 prefill at the 1B geometry vs
+        # 2.7-5.7 ms for rowq8 (ROOFLINE.md round 4). Memoize the exact
+        # same w.dequant(bf16) arrays once at load (numerics unchanged —
+        # the GEMM consumes identical operand values) and hand THEM to the
+        # prefill dispatch; decode keeps the packed layout. Costs
+        # 2 B/weight of extra HBM, so it is budget-gated (default 3 GiB:
+        # 1B-class yes, 12B capacity class never reaches here).
+        self._prefill_w = self.weights
+        if (
+            not self._capacity
+            and tp_mesh is None
+            and mode in ("serve-q", "serve-q4")
+            and self._stacked
+            and os.environ.get("LLMI_PREFILL_BF16", "1") != "0"
+        ):
+            from .quant.device import TQ4Tensor, TQuantTensor
+
+            lw = self.weights.layers
+            if isinstance(lw.wqkv, (TQuantTensor, TQ4Tensor)):
+                parts = {f: getattr(lw, f)
+                         for f in ("wqkv", "wo", "w_gate_up", "w_down")}
+                L = self.hparams.block_count
+                need = sum(2 * L * t.rows * t.cols for t in parts.values())
+                budget = int(os.environ.get(
+                    "LLMI_PREFILL_BF16_BUDGET", str(3 * 1024**3)))
+                if need <= budget:
+                    from .gguf.constants import GGMLType
+                    from .quant.device import DenseTensor
+
+                    dense = {}
+                    for f, t in parts.items():
+                        arr = jax.jit(lambda tt: tt.dequant(jnp.bfloat16))(t)
+                        arr.block_until_ready()  # bound dequant transients
+                        dense[f] = DenseTensor(w=arr, fmt=GGMLType.BF16,
+                                               rows=t.rows, cols=t.cols)
+                    self._prefill_w = dataclasses.replace(
+                        self.weights,
+                        layers=dataclasses.replace(lw, **dense))
         self.tokenizer = Tokenizer(gguf.metadata, self.hparams.architecture)
         self.max_seq = max_seq
         self.decode_chunk = decode_chunk
@@ -442,18 +485,22 @@ class Engine:
         padded[: len(prompt_ids)] = prompt_ids
         if self._prefill_fresh is not None:
             next_tok, first_logits, cache = self._prefill_fresh(
-                self.weights, jnp.asarray(padded),
+                self._prefill_w, jnp.asarray(padded),
                 jnp.int32(len(prompt_ids)), self._base_key,
             )
         else:
             cache = self.new_cache()
             next_tok, first_logits, cache = self._prefill(
-                self.weights, cache, jnp.asarray(padded),
+                self._prefill_w, cache, jnp.asarray(padded),
                 jnp.int32(0), jnp.int32(len(prompt_ids)), self._base_key,
             )
         first_id = int(next_tok)
         if stats is not None:
-            stats.first_logits = np.asarray(first_logits)
+            # keep the DEVICE array: materializing the [vocab] f32 logits
+            # here costs a second host round trip (~1 MB + tunnel latency,
+            # measured ~45 ms of the 76.7 ms round-4 TTFT) inside the timed
+            # prefill window. Consumers (-v top-10 dump) np-convert lazily.
+            stats.first_logits = first_logits
         t1 = time.perf_counter()
 
         out: list[int] = []

@@ -229,6 +229,7 @@ class BatchedServer:
         from .models.gemma import swa_active
 
         self._mega_batch = False
+        self._mega_paged = False  # set in the paged branch below
         if (
             mode == "serve-q8"
             and cfg.is_greedy  # stochastic sampling needs the logits
@@ -319,6 +320,41 @@ class BatchedServer:
                            if _ring(i) > 0}
             ring_layers = tuple(sorted(self._rings))
 
+            # PAGED whole-step megakernel (ops/pallas/fused_decode_batch_
+            # paged.py): same gate as the dense megakernel, plus no rings
+            # (the kernel implements plain pools only). When eligible the
+            # pools get ONE extra trash page (row kv_pages — the index the
+            # host table already uses as its "unmapped" sentinel) so
+            # parked-lane row writebacks land in dedicated scratch.
+            self._mega_paged = False
+            if (
+                mode == "serve-q8"
+                and cfg.is_greedy
+                and sharding_fn is None
+                and not swa_active(hp)
+                and not self._rings
+                and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
+                and (jax.default_backend() == "tpu"
+                     or os.environ.get("LLMI_FUSED_INTERPRET"))
+            ):
+                import dataclasses as _dc
+
+                from .models.weights import layers_stackable, stack_layers
+                from .ops.pallas.fused_decode_batch_paged import (
+                    megakernel_batch_paged_supported,
+                )
+
+                if layers_stackable(hp, self.weights.layers):
+                    probe = _dc.replace(self.weights,
+                                        layers=self.weights.layers[0])
+                    if megakernel_batch_paged_supported(
+                            hp, probe, batch=max_batch,
+                            nb=max_seq // PAGE, page=PAGE):
+                        self._w_stacked = _dc.replace(
+                            self.weights,
+                            layers=stack_layers(self.weights.layers))
+                        self._mega_paged = True
+
             def _dsplit_ok(i):
                 # degenerate real geometry (one KV head, d = m*128, for
                 # BOTH k and v): store split-d [*, PAGE, m, 128] so the
@@ -335,7 +371,7 @@ class BatchedServer:
 
             def _pool(i, dk_or_dv):
                 rows = (max_batch * self._rings[i] if i in self._rings
-                        else kv_pages)
+                        else kv_pages + (1 if self._mega_paged else 0))
                 d = dk_or_dv
                 if _dsplit_ok(i):
                     return jnp.zeros((rows, PAGE, d // 128, 128),
@@ -478,6 +514,40 @@ class BatchedServer:
             self._prefill_paged = jax.jit(_prefill_paged, donate_argnums=(1,))
             self._prefill_paged_group = jax.jit(
                 _prefill_paged_group, donate_argnums=(1,))
+
+            if self._mega_paged:
+                from .models.gemma import KVCache as _KV
+                from .ops.pallas.fused_decode_batch_paged import (
+                    decode_step_megakernel_batch_paged,
+                )
+
+                interp = (jax.default_backend() != "tpu"
+                          and bool(os.environ.get("LLMI_FUSED_INTERPRET")))
+                n_kv = hp.n_kv_layers
+
+                def _chunk_paged_mega(w, pools, table, tokens, pos):
+                    # stack the per-layer pools at the chunk boundary (one
+                    # pool copy per chunk, amortized over decode_chunk
+                    # steps; the scan carry updates in place)
+                    kp = jnp.stack(pools.k)
+                    vp = jnp.stack(pools.v)
+
+                    def body(carry, _):
+                        kp, vp, toks, p = carry
+                        nxt, kp, vp = decode_step_megakernel_batch_paged(
+                            hp, w, kp, vp, table, toks, p,
+                            greedy=True, interpret=interp)
+                        return (kp, vp, nxt, p + 1), nxt
+
+                    (kp, vp, _, _), toks = jax.lax.scan(
+                        body, (kp, vp, tokens, pos), None,
+                        length=decode_chunk)
+                    pools = _KV(k=tuple(kp[i] for i in range(n_kv)),
+                                v=tuple(vp[i] for i in range(n_kv)))
+                    return jnp.moveaxis(toks, 0, 1), pools
+
+                self._chunk_paged_mega = jax.jit(
+                    _chunk_paged_mega, donate_argnums=(1,))
         else:
             one = init_cache(hp, max_seq, stacked=self._stacked, dtype=kv_dtype)
             self._caches = jax.tree_util.tree_map(
@@ -691,7 +761,12 @@ class BatchedServer:
             tokens[slot] = req.pending
             pos[slot] = req.pos
 
-        if self._paged:
+        if self._paged and self._mega_paged:
+            toks, self._caches = self._chunk_paged_mega(
+                self._w_stacked, self._caches, jnp.asarray(self._table),
+                jnp.asarray(tokens), jnp.asarray(pos)
+            )
+        elif self._paged:
             toks, self._caches = self._chunk_paged(
                 self.weights, self._caches, jnp.asarray(self._table),
                 jnp.asarray(tokens), jnp.asarray(pos)
