@@ -6,8 +6,8 @@
 # tunnel and corrupts the timing.
 set -u
 cd "$(dirname "$0")/.."
-OUT=${OUT:-/tmp/hw_sweep_r04.jsonl}
-LOG=${LOG:-/tmp/hw_sweep_r04.log}
+OUT=${OUT:-/tmp/hw_sweep_r05.jsonl}
+LOG=${LOG:-/tmp/hw_sweep_r05.log}
 : > "$LOG"
 
 run() { # run <tag> <timeout_s> <env...> -- cmd...
@@ -48,6 +48,9 @@ run batch16       900 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=16 -- python ben
 run batch32       1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 -- python bench.py
 run batch32-perop 1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 LLMI_NO_FUSED_DECODE=1 -- python bench.py
 run batch32-paged-4k 1500 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 LLMI_BENCH_PAGED=96 LLMI_BENCH_MAX_SEQ=4096 -- python bench.py
+# same paged configuration with the paged batched megakernel gated OFF —
+# isolates the r5 fused_decode_batch_paged.py win over the per-op paged path
+run batch32-paged-4k-perop 1500 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=32 LLMI_BENCH_PAGED=96 LLMI_BENCH_MAX_SEQ=4096 LLMI_NO_FUSED_DECODE=1 -- python bench.py
 # BASELINE config 2: other checkpoint quantizations (Q8_0 1B, Q4_K 4B —
 # the K-quant offset path of the masked-dot megakernel)
 run q8_0-serve-q    1200 LLMI_BENCH_MODE=serve-q  LLMI_BENCH_FMT=q8_0 -- python bench.py
