@@ -158,13 +158,9 @@ class Engine:
             from .models.hparams import load_hparams
             from .ops.pallas.fused_decode import _LOGITS_TILE
 
-            from .models.gemma import swa_active
-
             hp_probe = load_hparams(gguf.metadata)
             D_probe = hp_probe.embedding_length
             V_probe = hp_probe.vocab_size or _LOGITS_TILE
-            if swa_active(hp_probe):
-                est = None  # megakernels keep the parity no-mask contract
             if est is not None and (not whole_layer_fits(est, D_probe, V_probe) or force):
                 # directory-only structural precheck: reject the capacity
                 # path BEFORE the multi-GB host repack + upload
@@ -201,17 +197,33 @@ class Engine:
         # (ops/pallas/fused_decode.py), which serve-q8 uses by default on
         # the TPU backend. Both read the SAME stacked arrays — one weight
         # copy in HBM.
-        from .models.gemma import swa_active as _swa_active
-
         want_scan = os.environ.get("LLMI_SCAN_LAYERS", "0") == "1"
         want_mega = (
             mode in ("serve-q8", "serve-q", "serve-q4")
             and sharding_fn is None  # megakernel is single-chip; TP uses GSPMD
-            and not _swa_active(self.hparams)  # megakernels: no-mask contract
             and os.environ.get("LLMI_NO_FUSED_DECODE", "0") != "1"
             and (jax.default_backend() == "tpu" or os.environ.get("LLMI_FUSED_INTERPRET"))
         )
-        self._stacked = self._capacity or (
+        self._g4_prefill_w = None
+        if (want_mega and mode == "serve-q8" and not self._capacity
+                and tp_mesh is None
+                and self.hparams.architecture == "gemma4"):
+            # gemma4 fast path: megakernel DECODE over zero-padded stacked
+            # layers (ops/pallas/fused_decode.py gemma4 static features —
+            # per-layer-input epilogue, shared-KV indexing, V norm,
+            # out_scale); PREFILL keeps the unrolled per-op weights (the
+            # scan-over-layers path cannot index shared-KV caches). Costs
+            # a second weight copy in HBM — gemma4 checkpoints are
+            # 3n-class (<= a few GB rowq8).
+            from .models.gemma import _megakernel_enabled
+            from .models.weights import stack_layers_gemma4
+
+            g4 = stack_layers_gemma4(self.hparams, self.weights)
+            if g4 is not None and _megakernel_enabled(self.hparams, g4):
+                self._g4_prefill_w = self.weights
+                self.weights = g4
+                want_mega = want_scan = False
+        self._stacked = self._g4_prefill_w is not None or self._capacity or (
             (want_scan or want_mega) and mode != "parity"
             and layers_stackable(self.hparams, self.weights.layers)
         )
@@ -233,7 +245,7 @@ class Engine:
                 from .models.gemma import _megakernel_enabled
 
                 self._stacked = _megakernel_enabled(self.hparams, probe)
-        if self._stacked and not self._capacity:
+        if self._stacked and not self._capacity and self._g4_prefill_w is None:
             stacked = dataclasses.replace(
                 self.weights, layers=stack_layers(self.weights.layers)
             )
@@ -324,6 +336,8 @@ class Engine:
         # 2 B/weight of extra HBM, so it is budget-gated (default 3 GiB:
         # 1B-class yes, 12B capacity class never reaches here).
         self._prefill_w = self.weights
+        if self._g4_prefill_w is not None:
+            self._prefill_w = self._g4_prefill_w  # unrolled gemma4 prefill
         if (
             not self._capacity
             and tp_mesh is None
@@ -404,6 +418,7 @@ class Engine:
             # fused_decode_q_tp.py maskdot). Prefill keeps the replicated
             # XLA path above.
             from .models.gemma import softcap as _softcap
+            from .models.gemma import window_array as _window_array
 
             if self._tp_q:
                 from .ops.pallas.fused_decode_q_tp import (
@@ -417,13 +432,14 @@ class Engine:
             mesh_tp, packed_tp, geom_tp = self._tp
             interp = (jax.default_backend() != "tpu"
                       and bool(os.environ.get("LLMI_FUSED_INTERPRET")))
+            tp_windows = _window_array(hp)
 
             def _decode_chunk_tp(packed, w, cache, token, pos, key):
                 def body(carry, _):
                     cache, tok, p = carry
                     logits, kc, vc = _tp_step(
                         hp, packed, geom_tp, w, cache, tok, p,
-                        mesh=mesh_tp, interpret=interp)
+                        mesh=mesh_tp, windows=tp_windows, interpret=interp)
                     logits = _softcap(logits, hp.final_logit_softcap)
                     nxt = sample(logits, cfg, jax.random.fold_in(key, p + 1))
                     cache = dataclasses.replace(cache, k=kc, v=vc)

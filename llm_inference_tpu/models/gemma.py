@@ -175,11 +175,22 @@ def _use_inplace_insert(*caches) -> bool:
 def swa_active(hp: HParams) -> bool:
     """True when real windowing is both requested (LLMI_SWA_MASK=1) and
     applicable (the checkpoint records a window size and has SWA layers).
-    Megakernel gates check this: the whole-step kernels implement the
-    parity no-mask contract only."""
+    The batched-serving megakernel gates check this (serving.py); the
+    single-stream whole-step kernels take a per-layer window array
+    (window_array below) and stay eligible under real SWA."""
     if not _swa_mask_enabled() or hp.sliding_window <= 0:
         return False
     return any(hp.is_swa_layer(i) for i in range(hp.block_count))
+
+
+def window_array(hp: HParams) -> np.ndarray:
+    """Per-layer sliding-window sizes [L] int32 for the megakernels:
+    hp.swa_window per layer when real SWA is on (LLMI_SWA_MASK=1),
+    zeros otherwise (the reference's no-mask parity contract,
+    model.cpp:727-748)."""
+    on = _swa_mask_enabled()
+    return np.array([hp.swa_window(i) if on else 0
+                     for i in range(hp.block_count)], dtype=np.int32)
 
 
 def _masked_scores(q: Array, k_cache: Array, *, pos: Array, hp: HParams,
@@ -438,7 +449,8 @@ def forward(
                 from ..ops.pallas.fused_decode import decode_step_megakernel
 
                 logits, kc, vc = decode_step_megakernel(
-                    hp, w, cache, tokens[0], pos, interpret=interpret
+                    hp, w, cache, tokens[0], pos,
+                    windows=window_array(hp), interpret=interpret
                 )
                 return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
             if not flat_cache and _megakernel_q_enabled(hp, w):
@@ -447,7 +459,8 @@ def forward(
                 from ..ops.pallas.fused_decode_q import decode_step_megakernel_q
 
                 logits, kc, vc = decode_step_megakernel_q(
-                    hp, w, cache, tokens[0], pos, interpret=interpret
+                    hp, w, cache, tokens[0], pos,
+                    windows=window_array(hp), interpret=interpret
                 )
                 return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
             if _megakernel_stream_enabled(hp, w, max_seq=cache.k.shape[1]):
@@ -459,7 +472,8 @@ def forward(
                 )
 
                 logits, kc, vc = decode_step_megakernel_stream(
-                    hp, w, cache, tokens[0], pos, interpret=interpret
+                    hp, w, cache, tokens[0], pos,
+                    windows=window_array(hp), interpret=interpret
                 )
                 return softcap(logits, hp.final_logit_softcap), KVCache(k=kc, v=vc)
         return _forward_scan(hp, w, cache, tokens, pos, n_valid, exact=exact,
@@ -471,6 +485,10 @@ def forward(
 
     inp_per_layer = _per_layer_inputs(hp, w, tokens, x, exact)
 
+    # the gemma4 megakernel engine prefills through this unrolled path
+    # with a STACKED cache ([n_kv, S, H, d] arrays, engine.py): iterate
+    # per-layer slices and re-stack on return
+    stacked_cache = not isinstance(cache.k, (tuple, list))
     new_k = list(cache.k)
     new_v = list(cache.v)
 
@@ -557,6 +575,8 @@ def forward(
     logits = mm(w.token_embd, last)
     logits = tap("result_output", softcap(logits, hp.final_logit_softcap))
 
+    if stacked_cache:
+        return logits, KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
 
 
@@ -565,8 +585,6 @@ def _megakernel_enabled(hp: HParams, w: ModelWeights) -> bool:
     (ops/pallas/fused_decode.py megakernel_supported)."""
     if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
         return False
-    if swa_active(hp):
-        return False  # megakernels implement the parity no-mask contract
     if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
     from ..ops.pallas.fused_decode import megakernel_supported
@@ -582,8 +600,6 @@ def _megakernel_q_enabled(hp: HParams, w: ModelWeights) -> bool:
         return False
     if os.environ.get("LLMI_FORCE_CAPACITY", "0") == "1":
         return False  # let the streamed capacity kernel take the step
-    if swa_active(hp):
-        return False  # megakernels implement the parity no-mask contract
     if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
     from ..quant.device import TQ4Tensor, TQuantTensor
@@ -601,8 +617,6 @@ def _megakernel_stream_enabled(hp: HParams, w: ModelWeights, *, max_seq=None) ->
     VMEM but whose projections tile into streamable lane-slices."""
     if os.environ.get("LLMI_NO_FUSED_DECODE", "0") == "1":
         return False
-    if swa_active(hp):
-        return False  # megakernels implement the parity no-mask contract
     if jax.default_backend() != "tpu" and not os.environ.get("LLMI_FUSED_INTERPRET"):
         return False
     from ..quant.device import TQ4Tensor, TQuantTensor

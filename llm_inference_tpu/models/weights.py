@@ -282,6 +282,73 @@ def stack_layers(layers: tuple[LayerWeights, ...]) -> LayerWeights:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
+def stack_layers_gemma4(hp: HParams, model: ModelWeights) -> Optional[ModelWeights]:
+    """Stack a gemma4 (per-layer-input / shared-KV) model's layers for the
+    whole-step decode megakernel (ops/pallas/fused_decode.py gemma4 path).
+
+    Shared-KV layers (reference model.cpp:774-835) own no K/V projection
+    weights, which makes the layer set heterogeneous; their fused QKV
+    tensors are ZERO-FILLED here (zero int8 rows, zero row scales) so
+    every layer carries the same [Rq, D] shape — the kernel computes
+    k = v = 0 for them and never writes those rows to the cache (it reads
+    hp.kv_source_layer's cache instead). Costs Hkv*(dk+dv)*D extra weight
+    bytes per shared layer per step (~a few % of a layer).
+
+    rowq8 (groups == 1 QuantTensor) layers only. Returns the stacked
+    ModelWeights or None when the layer set is not stackable this way."""
+    from ..quant.device import QuantTensor
+
+    lw = model.layers
+    if isinstance(lw, LayerWeights):
+        return None  # already stacked
+    dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
+    if (hp.n_embd_head_k != hp.n_embd_head_k_swa
+            or hp.n_embd_head_v != hp.n_embd_head_v_swa):
+        return None
+    rq = hp.n_head * dk
+    rkv = hp.n_head_kv * (dk + dv)
+    padded = []
+    for i, layer in enumerate(lw):
+        if hp.layer_has_kv(i):
+            if layer.wqkv is None:  # K/V present but fusion didn't happen
+                return None
+            padded.append(layer)
+            continue
+        # shared-KV layer: Q-only projection -> zero-fill the K/V rows
+        wq = layer.wq if layer.wqkv is None else layer.wqkv
+        if not (isinstance(wq, QuantTensor) and wq.groups == 1
+                and wq.rows == rq):
+            return None
+        D = wq.cols
+        q_pad = jnp.concatenate(
+            [wq.q, jnp.zeros((rkv, D), dtype=jnp.int8)], axis=0)
+        s_pad = jnp.concatenate(
+            [wq.scale, jnp.zeros((rkv,) + wq.scale.shape[1:],
+                                 dtype=wq.scale.dtype)], axis=0)
+        wqkv = QuantTensor(q=q_pad, scale=s_pad, offset=None, fmt=wq.fmt,
+                           rows=rq + rkv, cols=D, group_size=wq.group_size)
+        padded.append(dataclasses.replace(layer, wqkv=wqkv, wq=None,
+                                          wk=None, wv=None))
+    padded = tuple(padded)
+
+    def signature(l: LayerWeights):
+        sig = []
+        for f in dataclasses.fields(l):
+            v = getattr(l, f.name)
+            if v is None:
+                sig.append((f.name, None))
+            else:
+                leaves = jax.tree_util.tree_leaves(v)
+                sig.append((f.name,
+                            tuple((x.shape, str(x.dtype)) for x in leaves)))
+        return tuple(sig)
+
+    first = signature(padded[0])
+    if not all(signature(l) == first for l in padded[1:]):
+        return None
+    return dataclasses.replace(model, layers=stack_layers(padded))
+
+
 def maskdot_layers(model: ModelWeights, *, q4: bool = False,
                    shard: int = 1) -> Optional[ModelWeights]:
     """Repack a STACKED model's layer weights into the masked-dot
@@ -461,6 +528,28 @@ def load_maskdot_stacked(
         "post_ffw_norm": ("post_ffw_norm.weight", "ffn_post_norm.weight"),
     }
 
+    # Single-chip path: per-layer DONATED device updates instead of a
+    # full-model host assembly + one big device_put at the end. Each
+    # update dispatch only ENQUEUES its transfer (XLA stages and sends on
+    # its own threads, GIL-free), so layer i's upload rides the tunnel
+    # while the host repacks layer i+1 — and the multi-GB host staging
+    # array disappears. The mesh (TP) path keeps the host assembly: its
+    # leaves need a one-shot sharded placement.
+    stream = mesh is None
+
+    def _upd(buf, x, i):
+        return jax.lax.dynamic_update_slice(buf, x[None], (i, 0, 0))
+
+    upd_jit = jax.jit(_upd, donate_argnums=(0,))
+
+    def _merged(parts, key, fill_missing=False):
+        rows = [
+            (p[key] if p[key] is not None else np.zeros_like(p["sT"]))
+            if fill_missing else p[key]
+            for p in parts
+        ]
+        return rows[0] if len(rows) == 1 else np.concatenate(rows, axis=-1)
+
     for i in range(hp.block_count):
         for field, names in fused_sets.items():
             parts = []
@@ -513,21 +602,31 @@ def load_maskdot_stacked(
             if slot["q"] is None:
                 L_ = hp.block_count
                 rt = sum(p[key].shape[-1] for p in parts)
-                slot["q"] = np.empty((L_, first[key].shape[0], rt),
-                                     dtype=first[key].dtype)
-                slot["s"] = np.empty((L_, first[key_s].shape[0], rt),
-                                     dtype=np.float32)
+                alloc = jnp.zeros if stream else np.empty
+                slot["q"] = alloc((L_, first[key].shape[0], rt),
+                                  dtype=first[key].dtype)
+                slot["s"] = alloc((L_, first[key_s].shape[0], rt),
+                                  dtype=np.float32)
                 if any(p["offT"] is not None for p in parts):
-                    slot["o"] = np.empty_like(slot["s"])
-            r0 = 0
-            for p in parts:
-                r1 = r0 + p[key].shape[-1]
-                slot["q"][i, :, r0:r1] = p[key]
-                slot["s"][i, :, r0:r1] = p["sT"]
+                    slot["o"] = alloc(slot["s"].shape, dtype=np.float32)
+            if stream:
+                slot["q"] = upd_jit(slot["q"], jnp.asarray(_merged(parts, key)), i)
+                slot["s"] = upd_jit(slot["s"], jnp.asarray(_merged(parts, "sT")), i)
                 if slot["o"] is not None:
-                    slot["o"][i, :, r0:r1] = (
-                        p["offT"] if p["offT"] is not None else 0.0)
-                r0 = r1
+                    slot["o"] = upd_jit(
+                        slot["o"],
+                        jnp.asarray(_merged(parts, "offT", fill_missing=True)),
+                        i)
+            else:
+                r0 = 0
+                for p in parts:
+                    r1 = r0 + p[key].shape[-1]
+                    slot["q"][i, :, r0:r1] = p[key]
+                    slot["s"][i, :, r0:r1] = p["sT"]
+                    if slot["o"] is not None:
+                        slot["o"][i, :, r0:r1] = (
+                            p["offT"] if p["offT"] is not None else 0.0)
+                    r0 = r1
         for field in vec_fields:
             info = None
             for n in vec_names[field]:
@@ -552,9 +651,10 @@ def load_maskdot_stacked(
         slot = acc[field]
         m = slot["meta"]
         packed = m["packedT"] is not None
-        q = _put(slot["q"])
-        s = _put(slot["s"])
-        o = None if slot["o"] is None else _put(slot["o"])
+        q = slot["q"] if stream else _put(slot["q"])
+        s = slot["s"] if stream else _put(slot["s"])
+        o = (None if slot["o"] is None
+             else (slot["o"] if stream else _put(slot["o"])))
         rows, cols = rows_cols
         cls = TQ4Tensor if packed else TQuantTensor
         kw = dict(sT=s, offT=o, fmt=m["fmt"], rows=rows, cols=cols,

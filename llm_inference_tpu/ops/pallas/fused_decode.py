@@ -128,19 +128,34 @@ def _sizes(hp, lw, token_embd):
 
 def megakernel_supported(hp, w) -> bool:
     """Whole-step megakernel eligibility: scan-stacked homogeneous layers
-    with rowq8 weights everywhere, gemma3-style attention (own KV per
-    layer, q/k norms, no ALiBi, uniform head dims), and a double-buffered
-    whole-layer weight set that fits VMEM."""
+    with rowq8 weights everywhere, q/k norms, no ALiBi, uniform head
+    dims, and a double-buffered whole-layer weight set that fits VMEM.
+
+    gemma4 (reference model.cpp:568-704, 774-835, 927-977) is supported
+    as a set of static kernel features: the per-layer-input epilogue
+    (token_embd_per_layer gather + per_layer_model_proj in the prologue,
+    two extra mixed dots + norm per layer), shared-KV layer indexing
+    (zero-padded K/V rows, models/weights.py stack_layers_gemma4), the
+    unweighted V norm, and the per-layer out_scale."""
     lw = w.layers
     from ...models.weights import LayerWeights
 
     if not isinstance(lw, LayerWeights):  # needs the stacked layout
         return False
-    if w.token_embd_per_layer is not None or hp.architecture == "gemma4":
-        return False
+    has_pl = w.token_embd_per_layer is not None
+    if has_pl and hp.architecture != "gemma4":
+        return False  # per-layer tensors on an unknown arch
     if hp.f_max_alibi_bias > 0.0:
         return False
     parts = [lw.wqkv, lw.wo, lw.w_gate_up, lw.w_down, w.token_embd]
+    if has_pl:
+        if (lw.per_layer_inp_gate is None or lw.per_layer_proj is None
+                or lw.per_layer_post_norm is None
+                or w.per_layer_model_proj is None
+                or w.per_layer_proj_norm is None):
+            return False
+        parts += [lw.per_layer_inp_gate, lw.per_layer_proj,
+                  w.token_embd_per_layer, w.per_layer_model_proj]
     if any(p is None or not _rowq8(p) for p in parts):
         return False
     if lw.q_norm is None or lw.k_norm is None:
@@ -161,15 +176,28 @@ def megakernel_supported(hp, w) -> bool:
     # double-buffered whole-layer weights + caches + logits tiles in VMEM
     S = None  # cache length checked at call time (any S works)
     layer_bytes = Rq * D + D * Adim + 2 * F * D + D * F
-    need = 2 * layer_bytes + 2 * _LOGITS_TILE * D
+    pl_bytes = 0
+    if has_pl:
+        P = hp.embedding_length_per_layer
+        Lp = hp.block_count * P
+        if P % LANE or w.per_layer_model_proj.rows != Lp:
+            return False
+        if w.token_embd_per_layer.cols != Lp or lw.per_layer_inp_gate.rows != P:
+            return False
+        layer_bytes += 2 * P * D  # per_layer_inp_gate + per_layer_proj
+        # whole per_layer_model_proj + gather window + f32 row scratch
+        pl_bytes = Lp * D + 32 * Lp + 2 * Lp * 4
+    need = 2 * layer_bytes + 2 * _LOGITS_TILE * D + pl_bytes
     return need <= _BUFFER_BUDGET
 
 
 def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
-                 eps, attn_scale, softcap, has_pa, has_pf):
+                 eps, attn_scale, softcap, has_pa, has_pf,
+                 n_kv, src_a, src_b, v_norm, has_os, has_pl, P):
     group = H // Hkv
     nt = V // TN
-    n_wdma = 10  # weight copies + the layer's K/V cache copies
+    shared = n_kv < L  # gemma4 shared-KV layers present
+    n_wdma = (14 if has_pl else 10)  # weight copies + K/V cache copies
 
     def kernel(*refs):
         idx = 0
@@ -180,17 +208,38 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             idx += 1
             return r
 
-        token_r, pos_r, base_idx_r = nxt(), nxt(), nxt()
+        token_r, pos_r, base_idx_r, win_r = nxt(), nxt(), nxt(), nxt()
+        kvsrc_r = nxt() if shared else None
+        os_r = nxt() if has_os else None
         cos_r, sin_r = nxt(), nxt()
         an_r, fn_r, qn_r, kn_r, on_r = nxt(), nxt(), nxt(), nxt(), nxt()
         pan_r = nxt() if has_pa else None
         pfn_r = nxt() if has_pf else None
-        (wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s,
-         emb_q, emb_s, kc, vc) = [nxt() for _ in range(12)]
+        pln_r = nxt() if has_pl else None  # per_layer_proj_norm [1, P]
+        plpn_r = nxt() if has_pl else None  # per_layer_post_norm [L, D]
+        (wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s) = [
+            nxt() for _ in range(8)]
+        if has_pl:
+            plg_q, plg_s, plj_q, plj_s = nxt(), nxt(), nxt(), nxt()
+        emb_q, emb_s = nxt(), nxt()
+        if has_pl:
+            plemb_q, plemb_s, plproj_q, plproj_s = nxt(), nxt(), nxt(), nxt()
+        kc, vc = nxt(), nxt()
         logits_out, kc_out, vc_out = nxt(), nxt(), nxt()
-        (wqkv_b, wqkv_sb, wo_b, wo_sb, gu_b, gu_sb, wd_b, wd_sb,
-         kb, vb, emb_b, emb_sb, lw_b, lw_sb, lo_b, x_s, h_s) = [nxt() for _ in range(17)]
+        (wqkv_b, wqkv_sb, wo_b, wo_sb, gu_b, gu_sb, wd_b, wd_sb) = [
+            nxt() for _ in range(8)]
+        if has_pl:
+            plg_b, plg_sb, plj_b, plj_sb = nxt(), nxt(), nxt(), nxt()
+        kb, vb, emb_b, emb_sb = nxt(), nxt(), nxt(), nxt()
+        if has_pl:
+            plemb_b, plemb_sb, plproj_b, plproj_sb = (
+                nxt(), nxt(), nxt(), nxt())
+            plemb_row_s, plproj_out_s = nxt(), nxt()
+        if shared:
+            freshk_s, freshv_s = nxt(), nxt()
+        lw_b, lw_sb, lo_b, x_s, h_s = nxt(), nxt(), nxt(), nxt(), nxt()
         wsem, wbsem, lsem, osem, esem = [nxt() for _ in range(5)]
+        plsem = nxt() if has_pl else None
 
         tok = token_r[0]
         p = pos_r[0]
@@ -206,8 +255,20 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 pltpu.make_async_copy(wd_q.at[l], wd_b.at[b], wsem.at[b, 6]),
                 pltpu.make_async_copy(wd_s.at[l], wd_sb.at[b], wsem.at[b, 7]),
             ]
-            cs.append(pltpu.make_async_copy(kc.at[l], kb.at[b], wsem.at[b, 8]))
-            cs.append(pltpu.make_async_copy(vc.at[l], vb.at[b], wsem.at[b, 9]))
+            base = 8
+            if has_pl:
+                cs += [
+                    pltpu.make_async_copy(plg_q.at[l], plg_b.at[b], wsem.at[b, 8]),
+                    pltpu.make_async_copy(plg_s.at[l], plg_sb.at[b], wsem.at[b, 9]),
+                    pltpu.make_async_copy(plj_q.at[l], plj_b.at[b], wsem.at[b, 10]),
+                    pltpu.make_async_copy(plj_s.at[l], plj_sb.at[b], wsem.at[b, 11]),
+                ]
+                base = 12
+            # shared-KV layers read the source layer's cache
+            # (reference model.cpp:774-835)
+            src = kvsrc_r[l] if shared else l
+            cs.append(pltpu.make_async_copy(kc.at[src], kb.at[b], wsem.at[b, base]))
+            cs.append(pltpu.make_async_copy(vc.at[src], vb.at[b], wsem.at[b, base + 1]))
             return cs
 
         # embedding row at the token id: int8 HBM is (32, 128)-tiled, so
@@ -219,6 +280,19 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
         e1 = pltpu.make_async_copy(emb_s.at[:, pl.ds(tokl, 128)], emb_sb, esem.at[1])
         e0.start()
         e1.start()
+        if has_pl:
+            # gemma4 prologue DMAs: per-layer embedding row window + the
+            # whole per_layer_model_proj (used once per step)
+            pe0 = pltpu.make_async_copy(
+                plemb_q.at[pl.ds(tok0, 32)], plemb_b, plsem.at[0])
+            pe1 = pltpu.make_async_copy(
+                plemb_s.at[:, pl.ds(tokl, 128)], plemb_sb, plsem.at[1])
+            pw0 = pltpu.make_async_copy(plproj_q, plproj_b, plsem.at[2])
+            pw1 = pltpu.make_async_copy(plproj_s, plproj_sb, plsem.at[3])
+            pe0.start()
+            pe1.start()
+            pw0.start()
+            pw1.start()
         for c in layer_copies(0, 0):
             c.start()
         e0.wait()
@@ -229,6 +303,25 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
         lanesel = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == tok - tokl)
         scale = jnp.sum(jnp.where(lanesel, emb_sb[:], 0.0))
         x_s[:] = row * scale * jnp.float32(math.sqrt(D))
+
+        if has_pl:
+            # gemma4 per-layer inputs (reference model.cpp:568-704):
+            # inp = emb_row * sqrt(P); proj = (x @ W_plp^T) / sqrt(D).
+            # The per-layer rms/norm/combine runs inside the loop on
+            # [1, P] lane slices.
+            pe0.wait()
+            pe1.wait()
+            prow = jnp.sum(
+                jnp.where(rowsel, plemb_b[:].astype(jnp.float32), 0.0),
+                axis=0, keepdims=True)
+            pscale = jnp.sum(jnp.where(lanesel, plemb_sb[:], 0.0))
+            plemb_row_s[:] = prow * pscale * jnp.float32(math.sqrt(P))
+            pw0.wait()
+            pw1.wait()
+            plproj_out_s[:] = (
+                _mixed_dot(x_s[:].astype(jnp.bfloat16), plproj_b[:])
+                * plproj_sb[:]
+            ) * jnp.float32(1.0 / math.sqrt(D))
 
         def body(l, carry):
             b = jax.lax.rem(l, 2)
@@ -255,6 +348,8 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             sin = sin_r[pl.ds(bi, 1), :]
             q = _rope_rows(q, cos, sin) * jnp.float32(attn_scale)
             k = _rope_rows(k, cos, sin)
+            if v_norm:
+                v = _rms(v, eps)  # gemma4 unweighted V norm (model.cpp:812-827)
             kbv = k.astype(jnp.bfloat16)
             vbv = v.astype(jnp.bfloat16)
             qb = q.astype(jnp.bfloat16)
@@ -265,25 +360,59 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             # same window back to the HBM cache (aliased in/out).
             p0 = pl.multiple_of((p // 16) * 16, 16)
             rsel = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) == p - p0
+            knew = kbv.reshape(1, Hkv * dk)
+            vnew = vbv.reshape(1, Hkv * dv)
+            if shared:
+                # a shared-KV layer's cache DMA (prefetched a layer early)
+                # may predate its source layer's fresh-row write: stash the
+                # two possible source layers' new rows (static slots — no
+                # dynamic sublane slicing) and patch the VMEM copy; owner
+                # layers use their own just-computed row.
+                @pl.when(l == src_a)
+                def _():
+                    freshk_s[0:1, :] = knew
+                    freshv_s[0:1, :] = vnew
+
+                @pl.when(l == src_b)
+                def _():
+                    freshk_s[1:2, :] = knew
+                    freshv_s[1:2, :] = vnew
+
+                sel_a = kvsrc_r[l] == src_a
+                own = l < n_kv
+                kfresh = jnp.where(sel_a, freshk_s[0:1, :], freshk_s[1:2, :])
+                vfresh = jnp.where(sel_a, freshv_s[0:1, :], freshv_s[1:2, :])
+                knew = jnp.where(own, knew, kfresh)
+                vnew = jnp.where(own, vnew, vfresh)
             kwin = kb[b, pl.ds(p0, 16), :]  # [16, Hkv*dk]
             vwin = vb[b, pl.ds(p0, 16), :]
-            kb[b, pl.ds(p0, 16), :] = jnp.where(
-                rsel, kbv.reshape(1, Hkv * dk), kwin)
-            vb[b, pl.ds(p0, 16), :] = jnp.where(
-                rsel, vbv.reshape(1, Hkv * dv), vwin)
-            wk = pltpu.make_async_copy(
-                kb.at[b, pl.ds(p0, 16), :], kc_out.at[l, pl.ds(p0, 16), :],
-                wbsem.at[0])
-            wv = pltpu.make_async_copy(
-                vb.at[b, pl.ds(p0, 16), :], vc_out.at[l, pl.ds(p0, 16), :],
-                wbsem.at[1])
-            wk.start()
-            wv.start()
-            wk.wait()
-            wv.wait()
+            kb[b, pl.ds(p0, 16), :] = jnp.where(rsel, knew, kwin)
+            vb[b, pl.ds(p0, 16), :] = jnp.where(rsel, vnew, vwin)
+
+            def _writeback():
+                wk = pltpu.make_async_copy(
+                    kb.at[b, pl.ds(p0, 16), :],
+                    kc_out.at[l, pl.ds(p0, 16), :], wbsem.at[0])
+                wv = pltpu.make_async_copy(
+                    vb.at[b, pl.ds(p0, 16), :],
+                    vc_out.at[l, pl.ds(p0, 16), :], wbsem.at[1])
+                wk.start()
+                wv.start()
+                wk.wait()
+                wv.wait()
+
+            if shared:  # only KV-owning layers write the HBM cache
+                pl.when(l < n_kv)(_writeback)
+            else:
+                _writeback()
 
             ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-            valid = ids <= p  # the new token's row is in the window above
+            # causal over written slots; win_r[l] > 0 additionally applies
+            # the layer's sliding window (real SWA, LLMI_SWA_MASK=1 —
+            # models/gemma.py _masked_scores is the semantics source).
+            # The new token's row (slot p) is always inside the window.
+            wl = win_r[l]
+            valid = (ids <= p) & ((wl <= 0) | (ids > p - wl))
             outs = []
             for i in range(Hkv):
                 qi = qb[i * group : (i + 1) * group, :]  # [G, dk]
@@ -326,7 +455,25 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             ) * wd_sb[b]
             if has_pf:
                 y3 = _rms(y3, eps) * pfn_r[pl.ds(l, 1), :]
-            x_s[:] = x2 + y3
+            x3 = x2 + y3
+            if has_pl:
+                # gemma4 per-layer-input epilogue (model.cpp:927-966):
+                # gate dot -> GELU -> * inp_per_layer[l] -> proj dot ->
+                # rms * post_norm -> residual add
+                off = pl.multiple_of(l * P, P)
+                proj_l = plproj_out_s[:, pl.ds(off, P)]
+                inp_l = (_rms(proj_l, eps) * pln_r[:]
+                         + plemb_row_s[:, pl.ds(off, P)]
+                         ) * jnp.float32(1.0 / math.sqrt(2.0))
+                gpl = _mixed_dot(x3.astype(jnp.bfloat16), plg_b[b]) * plg_sb[b]
+                gg = 0.5 * gpl * (1.0 + jnp.tanh(
+                    c * (gpl + 0.044715 * gpl * gpl * gpl))) * inp_l
+                pout = _mixed_dot(gg.astype(jnp.bfloat16), plj_b[b]) * plj_sb[b]
+                pout = _rms(pout, eps) * plpn_r[pl.ds(l, 1), :]
+                x3 = x3 + pout
+            if has_os:
+                x3 = x3 * os_r[l]  # reference model.cpp:969-977
+            x_s[:] = x3
             return carry
 
         jax.lax.fori_loop(0, L, body, 0)
@@ -380,19 +527,27 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
-                     "has_pa", "has_pf", "interpret"),
+                     "has_pa", "has_pf", "n_kv", "src_a", "src_b", "v_norm",
+                     "has_os", "has_pl", "interpret"),
 )
 def _run_step(
-    token, pos, base_idx, cos, sin, an, fn_, qn, kn, on, pan, pfn,
+    token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on, pan, pfn,
     wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s, emb_q, emb_s, kc, vc,
     *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
-    interpret=False,
+    n_kv=None, src_a=0, src_b=0, v_norm=False, has_os=False, has_pl=False,
+    kvsrc=None, os_=None, pln=None, plpn=None, plg_q=None, plg_s=None,
+    plj_q=None, plj_s=None, plemb_q=None, plemb_s=None, plproj_q=None,
+    plproj_s=None, interpret=False,
 ):
     L, Rq, D = wqkv_q.shape
     F = wd_q.shape[2]
     Adim = wo_q.shape[2]
     V = emb_q.shape[0]
-    S = kc.shape[1]  # kc is the flat [L, S, Hkv*dk] view
+    S = kc.shape[1]  # kc is the flat [n_kv, S, Hkv*dk] view
+    n_kv = L if n_kv is None else n_kv
+    shared = n_kv < L
+    P = plg_q.shape[1] if has_pl else 0
+    Lp = plproj_q.shape[0] if has_pl else 0
     TN = V if V <= _LOGITS_TILE else _LOGITS_TILE
     if S % 16:
         raise ValueError(f"megakernel needs max_seq % 16 == 0, got {S}")
@@ -403,25 +558,94 @@ def _run_step(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pl.ANY)
 
-    in_specs = [smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem]
-    args = [token, pos, base_idx, cos, sin, an, fn_, qn, kn, on]
+    in_specs = [smem, smem, smem, smem]
+    args = [token, pos, base_idx, windows]
+    if shared:
+        in_specs.append(smem)
+        args.append(kvsrc)
+    if has_os:
+        in_specs.append(smem)
+        args.append(os_)
+    in_specs += [vmem] * 7
+    args += [cos, sin, an, fn_, qn, kn, on]
     if has_pa:
         in_specs.append(vmem)
         args.append(pan)
     if has_pf:
         in_specs.append(vmem)
         args.append(pfn)
-    in_specs += [anym] * 12
-    args += [wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s,
-             emb_q, emb_s, kc, vc]
+    if has_pl:
+        in_specs += [vmem, vmem]
+        args += [pln, plpn]
+    wargs = [wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, wd_q, wd_s]
+    if has_pl:
+        wargs += [plg_q, plg_s, plj_q, plj_s]
+    wargs += [emb_q, emb_s]
+    if has_pl:
+        wargs += [plemb_q, plemb_s, plproj_q, plproj_s]
+    wargs += [kc, vc]
+    in_specs += [anym] * len(wargs)
+    args += wargs
     kc_idx = len(args) - 2  # input positions of the aliased caches
     vc_idx = len(args) - 1
 
     kernel = _make_kernel(
         L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim, V=V,
         S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
-        has_pa=has_pa, has_pf=has_pf,
+        has_pa=has_pa, has_pf=has_pf, n_kv=n_kv, src_a=src_a, src_b=src_b,
+        v_norm=v_norm, has_os=has_os, has_pl=has_pl, P=P,
     )
+    scratch = [
+        pltpu.VMEM((2, Rq, D), jnp.int8),
+        pltpu.VMEM((2, 1, Rq), jnp.float32),
+        pltpu.VMEM((2, D, Adim), jnp.int8),
+        pltpu.VMEM((2, 1, D), jnp.float32),
+        pltpu.VMEM((2, 2 * F, D), jnp.int8),
+        pltpu.VMEM((2, 1, 2 * F), jnp.float32),
+        pltpu.VMEM((2, D, F), jnp.int8),
+        pltpu.VMEM((2, 1, D), jnp.float32),
+    ]
+    if has_pl:
+        scratch += [
+            pltpu.VMEM((2, P, D), jnp.int8),
+            pltpu.VMEM((2, 1, P), jnp.float32),
+            pltpu.VMEM((2, D, P), jnp.int8),
+            pltpu.VMEM((2, 1, D), jnp.float32),
+        ]
+    scratch += [
+        pltpu.VMEM((2, S, Hkv * dk), kc.dtype),
+        pltpu.VMEM((2, S, Hkv * dv), vc.dtype),
+        pltpu.VMEM((32, D), jnp.int8),
+        pltpu.VMEM((1, 128), jnp.float32),
+    ]
+    if has_pl:
+        scratch += [
+            pltpu.VMEM((32, Lp), jnp.int8),      # plemb row window
+            pltpu.VMEM((1, 128), jnp.float32),   # plemb scale window
+            pltpu.VMEM((Lp, D), jnp.int8),       # whole per_layer_model_proj
+            pltpu.VMEM((1, Lp), jnp.float32),    # its row scales
+            pltpu.VMEM((1, Lp), jnp.float32),    # emb row * sqrt(P)
+            pltpu.VMEM((1, Lp), jnp.float32),    # proj(x) / sqrt(D)
+        ]
+    if shared:
+        scratch += [
+            pltpu.VMEM((2, Hkv * dk), kc.dtype),  # fresh source K rows
+            pltpu.VMEM((2, Hkv * dv), vc.dtype),  # fresh source V rows
+        ]
+    scratch += [
+        pltpu.VMEM((2, TN, D), jnp.int8),
+        pltpu.VMEM((2, 1, TN), jnp.float32),
+        pltpu.VMEM((2, 1, TN), jnp.float32),
+        pltpu.VMEM((1, D), jnp.float32),
+        pltpu.VMEM((1, D), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2, 14 if has_pl else 10)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if has_pl:
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
     return pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -432,59 +656,67 @@ def _run_step(
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ),
         input_output_aliases={kc_idx: 1, vc_idx: 2},
-        scratch_shapes=[
-            pltpu.VMEM((2, Rq, D), jnp.int8),
-            pltpu.VMEM((2, 1, Rq), jnp.float32),
-            pltpu.VMEM((2, D, Adim), jnp.int8),
-            pltpu.VMEM((2, 1, D), jnp.float32),
-            pltpu.VMEM((2, 2 * F, D), jnp.int8),
-            pltpu.VMEM((2, 1, 2 * F), jnp.float32),
-            pltpu.VMEM((2, D, F), jnp.int8),
-            pltpu.VMEM((2, 1, D), jnp.float32),
-            pltpu.VMEM((2, S, Hkv * dk), kc.dtype),
-            pltpu.VMEM((2, S, Hkv * dv), vc.dtype),
-            pltpu.VMEM((32, D), jnp.int8),
-            pltpu.VMEM((1, 128), jnp.float32),
-            pltpu.VMEM((2, TN, D), jnp.int8),
-            pltpu.VMEM((2, 1, TN), jnp.float32),
-            pltpu.VMEM((2, 1, TN), jnp.float32),
-            pltpu.VMEM((1, D), jnp.float32),
-            pltpu.VMEM((1, D), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 10)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * L * (Rq * D + D * Adim + 3 * D * F) + 2 * V * D,
-            bytes_accessed=L * (Rq * D + D * Adim + 3 * D * F) + V * D
-            + 2 * L * S * Hkv * dk,
-            transcendentals=L * (F + H * S),
+            flops=2 * L * (Rq * D + D * Adim + 3 * D * F + 2 * P * D)
+            + 2 * V * D + 2 * Lp * D,
+            bytes_accessed=L * (Rq * D + D * Adim + 3 * D * F + 2 * P * D)
+            + V * D + Lp * D + 2 * L * S * Hkv * dk,
+            transcendentals=L * (F + H * S + P),
         ),
         interpret=interpret,
     )(*args)
 
 
-def decode_step_megakernel(hp, w, cache, token, pos, *, interpret=False):
+def decode_step_megakernel(hp, w, cache, token, pos, *, windows=None,
+                           interpret=False):
     """One single-token decode step as one Pallas call. ``w.layers`` must
-    be the stacked LayerWeights; ``cache`` the stacked KV cache. Returns
-    (logits [vocab] f32 — softcap applied by the caller, new cache arrays)."""
+    be the stacked LayerWeights; ``cache`` the stacked KV cache.
+    ``windows``: per-layer sliding-window sizes [L] int32 (0 = no window;
+    the caller decides policy — models/gemma.py passes hp.swa_window when
+    LLMI_SWA_MASK=1, zeros otherwise). Returns (logits [vocab] f32 —
+    softcap applied by the caller, new cache arrays)."""
     lw = w.layers
     L = lw.wqkv.q.shape[0]
     dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
     base_idx, cos, sin = _rope_tables(hp, L, pos)
+    windows = (jnp.zeros((L,), dtype=jnp.int32) if windows is None
+               else jnp.asarray(windows, dtype=jnp.int32))
 
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None
     has_pf = lw.post_ffw_norm is not None
+    # gemma4 static features (reference model.cpp:568-704, 774-835, 927-977)
+    has_pl = w.token_embd_per_layer is not None
+    v_norm = hp.architecture == "gemma4"
+    has_os = lw.out_scale is not None
+    n_kv = hp.n_kv_layers
+    shared = n_kv < L
+    kvsrc = (jnp.asarray([hp.kv_source_layer(i) for i in range(L)],
+                         dtype=jnp.int32) if shared else None)
+    src_a = hp.n_layer_kv_from_start - 1 if shared else 0
+    src_b = max(hp.n_layer_kv_from_start - 2, 0) if shared else 0
+    pl_kw = {}
+    if has_pl:
+        P = hp.embedding_length_per_layer
+        plg, plj = lw.per_layer_inp_gate, lw.per_layer_proj
+        pl_kw = dict(
+            pln=w.per_layer_proj_norm.astype(f32).reshape(1, P),
+            plpn=lw.per_layer_post_norm.astype(f32),
+            plg_q=plg.q, plg_s=plg.scale.reshape(L, 1, -1),
+            plj_q=plj.q, plj_s=plj.scale.reshape(L, 1, -1),
+            plemb_q=w.token_embd_per_layer.q,
+            plemb_s=w.token_embd_per_layer.scale.reshape(1, -1),
+            plproj_q=w.per_layer_model_proj.q,
+            plproj_s=w.per_layer_model_proj.scale.reshape(1, -1),
+        )
     logits, kc, vc = _run_step(
         jnp.asarray(token, dtype=jnp.int32).reshape(1),
         jnp.asarray(pos, dtype=jnp.int32).reshape(1),
-        base_idx, cos, sin,
+        base_idx, windows, cos, sin,
         lw.attn_norm.astype(f32), lw.ffn_norm.astype(f32),
         lw.q_norm.astype(f32), lw.k_norm.astype(f32),
         w.output_norm.astype(f32)[None, :],
@@ -498,12 +730,17 @@ def decode_step_megakernel(hp, w, cache, token, pos, *, interpret=False):
         lw.w_gate_up.q, lw.w_gate_up.scale.reshape(L, 1, -1),
         lw.w_down.q, lw.w_down.scale.reshape(L, 1, -1),
         w.token_embd.q, w.token_embd.scale.reshape(1, -1),
-        # flat [L, S, Hkv*dk] view: no size-1 tiled-dim slices in-kernel
-        cache.k.reshape(L, cache.k.shape[1], -1),
-        cache.v.reshape(L, cache.v.shape[1], -1),
+        # flat [n_kv, S, Hkv*dk] view: no size-1 tiled-dim slices in-kernel
+        cache.k.reshape(n_kv, cache.k.shape[1], -1),
+        cache.v.reshape(n_kv, cache.v.shape[1], -1),
         eps=hp.rms_eps, attn_scale=hp.f_attention_scale,
         softcap=hp.attn_soft_cap or 0.0,
         H=hp.n_head, Hkv=hp.n_head_kv, dk=dk, dv=dv,
-        has_pa=has_pa, has_pf=has_pf, interpret=interpret,
+        has_pa=has_pa, has_pf=has_pf,
+        n_kv=n_kv, src_a=src_a, src_b=src_b, v_norm=v_norm,
+        has_os=has_os, has_pl=has_pl,
+        kvsrc=kvsrc,
+        os_=(lw.out_scale.astype(f32).reshape(L) if has_os else None),
+        **pl_kw, interpret=interpret,
     )
     return logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape)

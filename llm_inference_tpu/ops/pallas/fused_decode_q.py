@@ -238,7 +238,7 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             idx += 1
             return r
 
-        token_r, pos_r, base_idx_r = nxt(), nxt(), nxt()
+        token_r, pos_r, base_idx_r, win_r = nxt(), nxt(), nxt(), nxt()
         cos_r, sin_r = nxt(), nxt()
         an_r, fn_r, qn_r, kn_r, on_r = nxt(), nxt(), nxt(), nxt(), nxt()
         pan_r = nxt() if has_pa else None
@@ -347,7 +347,10 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             wv.wait()
 
             ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-            valid = ids <= p
+            # causal + optional per-layer sliding window (real SWA; see
+            # fused_decode.py / models/gemma.py _masked_scores)
+            wl = win_r[l]
+            valid = (ids <= p) & ((wl <= 0) | (ids > p - wl))
             outs = []
             for i in range(Hkv):
                 qi = qb[i * group : (i + 1) * group, :]
@@ -452,7 +455,7 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                      "centered", "interpret"),
 )
 def _run_step(
-    token, pos, base_idx, cos, sin, an, fn_, qn, kn, on, pan, pfn,
+    token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on, pan, pfn,
     wparts, emb, kc, vc,
     *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
     geoms, gss, has_off, packed, centered, interpret=False,
@@ -475,8 +478,8 @@ def _run_step(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pl.ANY)
 
-    in_specs = [smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem]
-    args = [token, pos, base_idx, cos, sin, an, fn_, qn, kn, on]
+    in_specs = [smem, smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem]
+    args = [token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on]
     if has_pa:
         in_specs.append(vmem)
         args.append(pan)
@@ -542,16 +545,21 @@ def _run_step(
     )(*args)
 
 
-def decode_step_megakernel_q(hp, w, cache, token, pos, *, interpret=False):
+def decode_step_megakernel_q(hp, w, cache, token, pos, *, windows=None,
+                             interpret=False):
     """One lossless single-token decode step as one Pallas call over
-    transposed group-scaled weights (TQuantTensor). Returns (logits
-    [vocab] f32 — softcap applied by the caller, new cache arrays)."""
+    transposed group-scaled weights (TQuantTensor). ``windows``: per-layer
+    sliding-window sizes [L] int32 (0 = none; see fused_decode.py).
+    Returns (logits [vocab] f32 — softcap applied by the caller, new
+    cache arrays)."""
     lw = w.layers
     L = lw.wqkv.sT.shape[0]
     dk, dv = hp.n_embd_head_k, hp.n_embd_head_v
     half = dk // 2
 
     base_idx, cos, sin = _rope_tables(hp, L, pos)
+    windows = (jnp.zeros((L,), dtype=jnp.int32) if windows is None
+               else jnp.asarray(windows, dtype=jnp.int32))
 
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None
@@ -576,7 +584,7 @@ def decode_step_megakernel_q(hp, w, cache, token, pos, *, interpret=False):
     logits, kc, vc = _run_step(
         jnp.asarray(token, dtype=jnp.int32).reshape(1),
         jnp.asarray(pos, dtype=jnp.int32).reshape(1),
-        base_idx, cos, sin,
+        base_idx, windows, cos, sin,
         lw.attn_norm.astype(f32), lw.ffn_norm.astype(f32),
         lw.q_norm.astype(f32), lw.k_norm.astype(f32),
         w.output_norm.astype(f32)[None, :],

@@ -213,7 +213,7 @@ def _make_tp_kernel_q(*, n, L, Hl, H, Hkv, dk, dv, D, Fl, Vl, S, TN,
             idx += 1
             return r
 
-        token_r, pos_r, base_idx_r = nxt(), nxt(), nxt()
+        token_r, pos_r, base_idx_r, win_r = nxt(), nxt(), nxt(), nxt()
         cos_r, sin_r = nxt(), nxt()
         an_r, fn_r, qn_r, kn_r, on_r = nxt(), nxt(), nxt(), nxt(), nxt()
         pan_r = nxt() if has_pa else None
@@ -352,7 +352,10 @@ def _make_tp_kernel_q(*, n, L, Hl, H, Hkv, dk, dv, D, Fl, Vl, S, TN,
             wv.wait()
 
             ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-            valid = ids <= p
+            # causal + optional per-layer sliding window (real SWA; see
+            # fused_decode.py / models/gemma.py _masked_scores)
+            wl = win_r[l]
+            valid = (ids <= p) & ((wl <= 0) | (ids > p - wl))
             outs = []
 
             def attend(qi, kv):
@@ -458,7 +461,7 @@ def _make_tp_kernel_q(*, n, L, Hl, H, Hkv, dk, dv, D, Fl, Vl, S, TN,
 
 
 def _run_step_tp_q(
-    packed, geom, token, pos, base_idx, cos, sin,
+    packed, geom, token, pos, base_idx, windows, cos, sin,
     an, fn_, qn, kn, on, pan, pfn, kc, vc, S,
     *, eps, attn_scale, softcap, has_pa, has_pf, mesh, interpret=False,
 ):
@@ -493,16 +496,17 @@ def _run_step_tp_q(
             wkeys.append(f"{name}_o")
     wkeys.append("emb")
 
-    in_specs = [smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem]
+    in_specs = [smem, smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem,
+                vmem]
     if has_pa:
         in_specs.append(vmem)
     if has_pf:
         in_specs.append(vmem)
     in_specs += [anym] * (len(wkeys) + 2)
 
-    def local_call(token, pos, base_idx, cos, sin, an, fn_, qn, kn, on,
-                   pan_, pfn_, *rest):
-        args = [token, pos, base_idx, cos, sin, an, fn_, qn, kn, on]
+    def local_call(token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn,
+                   on, pan_, pfn_, *rest):
+        args = [token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on]
         if has_pa:
             args.append(pan_)
         if has_pf:
@@ -562,24 +566,27 @@ def _run_step_tp_q(
     shardspec = P("model")
     f = jax.shard_map(
         local_call, mesh=mesh,
-        in_specs=(rep,) * 12 + (shardspec,) * len(wkeys) + (rep, rep),
+        in_specs=(rep,) * 13 + (shardspec,) * len(wkeys) + (rep, rep),
         out_specs=(P(None, "model"), rep, rep),
         check_vma=False,
     )
-    return f(token, pos, base_idx, cos, sin, an, fn_, qn, kn, on,
+    return f(token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on,
              pan, pfn, *[packed[k] for k in wkeys], kc, vc)
 
 
 def decode_step_megakernel_q_tp(hp, packed, geom, w, cache, token, pos, *,
-                                mesh, interpret=False):
+                                mesh, windows=None, interpret=False):
     """One TP lossless single-token decode step: one Pallas call per
     device over maskdot weight shards with in-kernel all-reduces.
     ``packed``/``geom`` from shard_maskdot_for_tp; ``w`` supplies the
-    (replicated) norms. Returns (logits [vocab] f32, new cache arrays) —
-    softcap applied by the caller."""
+    (replicated) norms. ``windows``: per-layer sliding-window sizes [L]
+    int32 (0 = none; see fused_decode.py). Returns (logits [vocab] f32,
+    new cache arrays) — softcap applied by the caller."""
     lw = w.layers
     L = geom["L"]
     base_idx, cos, sin = _rope_tables(hp, L, pos)
+    windows = (jnp.zeros((L,), dtype=jnp.int32) if windows is None
+               else jnp.asarray(windows, dtype=jnp.int32))
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None
     has_pf = lw.post_ffw_norm is not None
@@ -591,7 +598,7 @@ def decode_step_megakernel_q_tp(hp, packed, geom, w, cache, token, pos, *,
         packed, geom,
         jnp.asarray(token, dtype=jnp.int32).reshape(1),
         jnp.asarray(pos, dtype=jnp.int32).reshape(1),
-        base_idx, cos, sin,
+        base_idx, windows, cos, sin,
         lw.attn_norm.astype(f32), lw.ffn_norm.astype(f32),
         lw.q_norm.astype(f32), lw.k_norm.astype(f32),
         w.output_norm.astype(f32)[None, :],

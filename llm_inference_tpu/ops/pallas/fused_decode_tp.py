@@ -186,7 +186,7 @@ def _make_tp_kernel(*, n, L, Hl, H, Hkv, dk, dv, D, Flp, Vl, S, TN,
             idx += 1
             return r
 
-        token_r, pos_r, base_idx_r = nxt(), nxt(), nxt()
+        token_r, pos_r, base_idx_r, win_r = nxt(), nxt(), nxt(), nxt()
         cos_r, sin_r = nxt(), nxt()
         an_r, fn_r, qn_r, kn_r, on_r = nxt(), nxt(), nxt(), nxt(), nxt()
         pan_r = nxt() if has_pa else None
@@ -311,7 +311,10 @@ def _make_tp_kernel(*, n, L, Hl, H, Hkv, dk, dv, D, Flp, Vl, S, TN,
             wv.wait()
 
             ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-            valid = ids <= p
+            # causal + optional per-layer sliding window (real SWA; see
+            # fused_decode.py / models/gemma.py _masked_scores)
+            wl = win_r[l]
+            valid = (ids <= p) & ((wl <= 0) | (ids > p - wl))
             outs = []
             if Hl >= group:
                 # whole KV groups live on this device
@@ -432,7 +435,7 @@ def _make_tp_kernel(*, n, L, Hl, H, Hkv, dk, dv, D, Flp, Vl, S, TN,
 
 
 def _run_step_tp(
-    packed, geom, token, pos, base_idx, cos, sin,
+    packed, geom, token, pos, base_idx, windows, cos, sin,
     an, fn_, qn, kn, on, pan, pfn, kc, vc, S,
     *, eps, attn_scale, softcap, has_pa, has_pf, mesh, interpret=False,
 ):
@@ -456,17 +459,18 @@ def _run_step_tp(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pl.ANY)
 
-    in_specs = [smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem, vmem]
+    in_specs = [smem, smem, smem, smem, vmem, vmem, vmem, vmem, vmem, vmem,
+                vmem]
     if has_pa:
         in_specs.append(vmem)
     if has_pf:
         in_specs.append(vmem)
     in_specs += [anym] * 12
 
-    def local_call(token, pos, base_idx, cos, sin, an, fn_, qn, kn, on,
-                   pan_, pfn_, wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s,
+    def local_call(token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn,
+                   on, pan_, pfn_, wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s,
                    wd_q, wd_s, emb_q, emb_s, kc, vc):
-        args = [token, pos, base_idx, cos, sin, an, fn_, qn, kn, on]
+        args = [token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on]
         if has_pa:
             args.append(pan_)
         if has_pf:
@@ -525,14 +529,14 @@ def _run_step_tp(
     f = jax.shard_map(
         local_call, mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep, rep,
-                  rep, rep,
+                  rep, rep, rep,
                   shardspec, shardspec, shardspec, shardspec, shardspec,
                   shardspec, shardspec, shardspec, shardspec, shardspec,
                   rep, rep),
         out_specs=(P(None, "model"), rep, rep),
         check_vma=False,
     )
-    return f(token, pos, base_idx, cos, sin, an, fn_, qn, kn, on,
+    return f(token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on,
              pan, pfn,
              packed["wqkv_q"], packed["wqkv_s"], packed["wo_q"],
              packed["wo_s"], packed["gu_q"], packed["gu_s"],
@@ -541,14 +545,18 @@ def _run_step_tp(
 
 
 def decode_step_megakernel_tp(hp, packed, geom, w, cache, token, pos, *,
-                              mesh, interpret=False):
+                              mesh, windows=None, interpret=False):
     """One TP single-token decode step: one Pallas call per device with
     in-kernel all-reduces. ``packed``/``geom`` from shard_rowq8_for_tp;
-    ``w`` supplies the (replicated) norms. Returns (logits [vocab] f32,
-    new cache arrays) — softcap applied by the caller."""
+    ``w`` supplies the (replicated) norms. ``windows``: per-layer
+    sliding-window sizes [L] int32 (0 = none; see fused_decode.py).
+    Returns (logits [vocab] f32, new cache arrays) — softcap applied by
+    the caller."""
     lw = w.layers
     L = geom["L"]
     base_idx, cos, sin = _rope_tables(hp, L, pos)
+    windows = (jnp.zeros((L,), dtype=jnp.int32) if windows is None
+               else jnp.asarray(windows, dtype=jnp.int32))
     f32 = jnp.float32
     has_pa = lw.post_attn_norm is not None
     has_pf = lw.post_ffw_norm is not None
@@ -560,7 +568,7 @@ def decode_step_megakernel_tp(hp, packed, geom, w, cache, token, pos, *,
         packed, geom,
         jnp.asarray(token, dtype=jnp.int32).reshape(1),
         jnp.asarray(pos, dtype=jnp.int32).reshape(1),
-        base_idx, cos, sin,
+        base_idx, windows, cos, sin,
         lw.attn_norm.astype(f32), lw.ffn_norm.astype(f32),
         lw.q_norm.astype(f32), lw.k_norm.astype(f32),
         w.output_norm.astype(f32)[None, :],

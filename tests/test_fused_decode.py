@@ -80,6 +80,147 @@ def test_megakernel_matches_xla_serve(fused_env, with_post_norms):
     np.testing.assert_allclose(k_fus[:, :pos], k_ref[:, :pos], atol=4e-2)
 
 
+def test_megakernel_applies_sliding_window(fused_env, monkeypatch):
+    """Under LLMI_SWA_MASK=1 a windowed checkpoint STAYS megakernel-
+    eligible and the in-kernel per-layer window mask matches the XLA
+    masked-softmax path (VERDICT r4 item 6: real SWA no longer forfeits
+    the single-stream megakernels)."""
+    monkeypatch.setenv("LLMI_SWA_MASK", "1")
+    vocab = [f"t{i}" for i in range(256)]
+    vocab[1] = "<eos>"
+    vocab[2] = "<bos>"
+    vocab[3] = "<unk>"
+    buf = build_gemma3_gguf(
+        n_layers=2, n_embd=256, n_ff=512, n_head=4, n_head_kv=2,
+        head_dim=128, vocab=vocab, sliding_window=8,
+        swa_pattern=[True, False],  # layer 0 windowed, layer 1 global
+    )
+    hp, w = load_weights(GGUFFile(buf), mode="rowq8")
+    w = fuse_projections(w)
+    w_stacked = dataclasses.replace(w, layers=stack_layers(w.layers))
+    from llm_inference_tpu.models.gemma import swa_active, window_array
+
+    assert swa_active(hp)
+    assert _megakernel_enabled(hp, w_stacked)  # gate no longer trips on SWA
+    assert list(window_array(hp)) == [8, 0]
+
+    cache_ref = init_cache(hp, 64, dtype=jnp.bfloat16)
+    cache_fus = init_cache(hp, 64, stacked=True, dtype=jnp.bfloat16)
+    fwd_ref = jax.jit(partial(forward, hp, exact=False, mm_impl="xla"))
+    fwd_fus = jax.jit(partial(forward, hp, exact=False, mm_impl="auto"))
+
+    # 12-token prompt > window 8: the mask must bite during decode
+    toks = jnp.asarray([2, 7, 8, 9, 4, 5, 6, 3, 8, 7, 2, 9], dtype=jnp.int32)
+    _, cache_ref = fwd_ref(w, cache_ref, toks, 0)
+    _, cache_fus = fwd_fus(w_stacked, cache_fus, toks, 0)
+
+    pos = 12
+    for step in range(2):
+        tok = jnp.asarray([9 + step], dtype=jnp.int32)
+        d_ref, cache_ref = fwd_ref(w, cache_ref, tok, pos)
+        d_fus, cache_fus = fwd_fus(w_stacked, cache_fus, tok, pos)
+        pos += 1
+        d_ref, d_fus = np.asarray(d_ref), np.asarray(d_fus)
+        scale = max(1.0, np.abs(d_ref).max())
+        np.testing.assert_allclose(d_fus, d_ref, atol=1.5e-2 * scale,
+                                   err_msg=f"step {step}")
+        assert d_ref.argmax() == d_fus.argmax()
+
+    # the window must actually reach the kernel: windowed vs unwindowed
+    # megakernel logits on the SAME cache/pos must differ
+    from llm_inference_tpu.ops.pallas.fused_decode import decode_step_megakernel
+
+    d_win, _, _ = decode_step_megakernel(
+        hp, w_stacked, cache_fus, jnp.int32(9), jnp.int32(pos),
+        windows=window_array(hp), interpret=True)
+    d_nowin, _, _ = decode_step_megakernel(
+        hp, w_stacked, cache_fus, jnp.int32(9), jnp.int32(pos),
+        windows=None, interpret=True)
+    assert np.abs(np.asarray(d_win) - np.asarray(d_nowin)).max() > 1e-4
+
+
+def _gemma4_model():
+    from fixtures import build_gemma4_gguf
+
+    buf = build_gemma4_gguf(
+        n_layers=4, n_embd=512, n_ff=512, n_head=4, n_head_kv=2,
+        n_embd_per_layer=128, shared_kv_layers=1,
+        vocab=[f"t{i}" for i in range(256)],
+    )
+    hp, w = load_weights(GGUFFile(buf), mode="rowq8")
+    return buf, hp, fuse_projections(w)
+
+
+def test_megakernel_gemma4_matches_xla_serve(fused_env):
+    """gemma4 through the whole-step megakernel (per-layer-input epilogue,
+    shared-KV indexing, unweighted V norm, out_scale — reference
+    model.cpp:568-704, 774-835, 927-977) vs the unrolled XLA serve path
+    on the same rowq8 weights (VERDICT r4 item 5)."""
+    from llm_inference_tpu.models.weights import stack_layers_gemma4
+
+    _, hp, w = _gemma4_model()
+    assert hp.n_layer_kv_from_start == 3  # layer 3 shares layer 1's KV
+    g4 = stack_layers_gemma4(hp, w)
+    assert g4 is not None
+    assert megakernel_supported(hp, g4)
+    assert _megakernel_enabled(hp, g4)
+
+    cache_ref = init_cache(hp, 64, dtype=jnp.bfloat16)  # per-layer tuple
+    cache_fus = init_cache(hp, 64, stacked=True, dtype=jnp.bfloat16)
+    fwd_ref = jax.jit(partial(forward, hp, exact=False, mm_impl="xla"))
+    fwd_fus = jax.jit(partial(forward, hp, exact=False, mm_impl="auto"))
+
+    toks = jnp.asarray([2, 7, 8], dtype=jnp.int32)
+    _, cache_ref = fwd_ref(w, cache_ref, toks, 0)
+    # the fused side prefills through the UNROLLED path on the stacked
+    # cache — the engine pairing for gemma4 (engine.py _g4_prefill_w)
+    _, cache_fus = fwd_ref(w, cache_fus, toks, 0)
+    assert cache_fus.k.ndim == 4 and cache_fus.k.shape[0] == 3
+
+    pos = 3
+    for step in range(3):
+        tok = jnp.asarray([9 + step], dtype=jnp.int32)
+        d_ref, cache_ref = fwd_ref(w, cache_ref, tok, pos)
+        d_fus, cache_fus = fwd_fus(g4, cache_fus, tok, pos)
+        pos += 1
+        d_ref, d_fus = np.asarray(d_ref), np.asarray(d_fus)
+        scale = max(1.0, np.abs(d_ref).max())
+        np.testing.assert_allclose(d_fus, d_ref, atol=1.5e-2 * scale,
+                                   err_msg=f"step {step}")
+        assert d_ref.argmax() == d_fus.argmax()
+
+    # owner-layer cache rows written in-kernel must match the XLA scatter;
+    # the shared layer (3) must have written nothing beyond its source's
+    k_ref = np.stack([np.asarray(k, dtype=np.float32) for k in cache_ref.k])
+    k_fus = np.asarray(cache_fus.k, dtype=np.float32)
+    np.testing.assert_allclose(k_fus[:, :pos], k_ref[:, :pos], atol=4e-2)
+
+
+def test_engine_gemma4_megakernel_stream(fused_env, tmp_path, monkeypatch):
+    """End-to-end: a gemma4 serve-q8 Engine takes the megakernel path
+    (stacked decode weights + unrolled prefill copy) and reproduces the
+    per-op engine's greedy stream."""
+    from llm_inference_tpu.engine import Engine
+
+    buf, hp, _ = _gemma4_model()
+    p = tmp_path / "g4.gguf"
+    p.write_bytes(buf)
+
+    eng = Engine(str(p), max_seq=128, mode="serve-q8", decode_chunk=4)
+    assert eng._g4_prefill_w is not None  # megakernel path engaged
+    eng.tokenizer.eos_id = -1
+    eng.tokenizer.end_of_turn_id = -1
+    out = eng.generate_from_ids([2, 7, 8], n_predict=6)
+
+    monkeypatch.setenv("LLMI_NO_FUSED_DECODE", "1")
+    eng2 = Engine(str(p), max_seq=128, mode="serve-q8", decode_chunk=4)
+    assert eng2._g4_prefill_w is None
+    eng2.tokenizer.eos_id = -1
+    eng2.tokenizer.end_of_turn_id = -1
+    out2 = eng2.generate_from_ids([2, 7, 8], n_predict=6)
+    assert out == out2
+
+
 def test_megakernel_ineligible_on_grouped_weights(fused_env):
     hp, w = _model(mode="packed-serve")  # grouped int8, not rowq8
     w_stacked = dataclasses.replace(w, layers=stack_layers(w.layers))

@@ -109,6 +109,65 @@ def test_megakernel_q_matches_xla_serve(fused_env, weight_fmt):
     np.testing.assert_allclose(k_fus[:, :pos], k_ref[:, :pos], atol=4e-2)
 
 
+def test_megakernel_q_applies_sliding_window(fused_env, monkeypatch):
+    """Real SWA (LLMI_SWA_MASK=1) through the masked-dot megakernel: the
+    per-layer window array must match the XLA windowed path and actually
+    change the logits (VERDICT r4 item 6)."""
+    monkeypatch.setenv("LLMI_SWA_MASK", "1")
+    vocab = [f"t{i}" for i in range(256)]
+    vocab[1] = "<eos>"
+    vocab[2] = "<bos>"
+    vocab[3] = "<unk>"
+    buf = build_gemma3_gguf(
+        n_layers=2, n_embd=256, n_ff=512, n_head=4, n_head_kv=2,
+        head_dim=128, vocab=vocab, sliding_window=8,
+        swa_pattern=[True, False],
+    )
+    hp, w = load_weights(GGUFFile(buf), mode="packed-serve")
+    w = fuse_projections(w)
+    stacked = dataclasses.replace(w, layers=stack_layers(w.layers))
+    wq = maskdot_layers(stacked)
+    assert wq is not None
+    from llm_inference_tpu.models.gemma import swa_active, window_array
+
+    assert swa_active(hp)
+    assert _megakernel_q_enabled(hp, wq)  # gate no longer trips on SWA
+
+    cache_ref = init_cache(hp, 64, dtype=jnp.bfloat16)
+    cache_fus = init_cache(hp, 64, stacked=True, dtype=jnp.bfloat16)
+    fwd_ref = jax.jit(partial(forward, hp, exact=False, mm_impl="xla"))
+    fwd_fus = jax.jit(partial(forward, hp, exact=False, mm_impl="auto"))
+
+    # 12-token prompt > window 8: the mask must bite during decode
+    toks = jnp.asarray([2, 7, 8, 9, 4, 5, 6, 3, 8, 7, 2, 9], dtype=jnp.int32)
+    _, cache_ref = fwd_ref(w, cache_ref, toks, 0)
+    _, cache_fus = fwd_fus(wq, cache_fus, toks, 0)
+
+    pos = 12
+    for step in range(2):
+        tok = jnp.asarray([9 + step], dtype=jnp.int32)
+        d_ref, cache_ref = fwd_ref(w, cache_ref, tok, pos)
+        d_fus, cache_fus = fwd_fus(wq, cache_fus, tok, pos)
+        pos += 1
+        d_ref, d_fus = np.asarray(d_ref), np.asarray(d_fus)
+        scale = max(1.0, np.abs(d_ref).max())
+        np.testing.assert_allclose(d_fus, d_ref, atol=1.5e-2 * scale,
+                                   err_msg=f"step {step}")
+        assert d_ref.argmax() == d_fus.argmax()
+
+    from llm_inference_tpu.ops.pallas.fused_decode_q import (
+        decode_step_megakernel_q,
+    )
+
+    d_win, _, _ = decode_step_megakernel_q(
+        hp, wq, cache_fus, jnp.int32(9), jnp.int32(pos),
+        windows=window_array(hp), interpret=True)
+    d_nowin, _, _ = decode_step_megakernel_q(
+        hp, wq, cache_fus, jnp.int32(9), jnp.int32(pos),
+        windows=None, interpret=True)
+    assert np.abs(np.asarray(d_win) - np.asarray(d_nowin)).max() > 1e-4
+
+
 @pytest.mark.parametrize("weight_fmt", [GGMLType.Q4_0, GGMLType.Q4_K])
 def test_megakernel_q4_packed_matches_xla_serve(fused_env, weight_fmt):
     """The nibble-packed (TQ4Tensor) megakernel variant: block-paired
