@@ -327,8 +327,16 @@ class BatchedServer:
             # host table already uses as its "unmapped" sentinel) so
             # parked-lane row writebacks land in dedicated scratch.
             self._mega_paged = False
+            # OPT-IN (LLMI_PAGED_MEGAKERNEL=1): the round-5 hardware sweep
+            # measured the paged whole-step kernel at 3240 tok/s vs 5201
+            # for the per-op paged path (batch 32 x 4k, BENCH_SWEEP_r05
+            # batch32-paged-4k vs -perop): its per-(lane, page, layer) DMA
+            # descriptor issue/wait pairs (~2*L*sum(nblk_b) per step) are
+            # scalar-core-bound and cost more than the XLA gather they
+            # replace. Correct (pool/token parity tests), not yet faster.
             if (
-                mode == "serve-q8"
+                os.environ.get("LLMI_PAGED_MEGAKERNEL", "0") == "1"
+                and mode == "serve-q8"
                 and cfg.is_greedy
                 and sharding_fn is None
                 and not swa_active(hp)

@@ -54,6 +54,10 @@ def _model(n_layers=3):
 @pytest.fixture()
 def fused_env(monkeypatch):
     monkeypatch.setenv("LLMI_FUSED_INTERPRET", "1")
+    # the paged whole-step kernel is correctness-complete but measured
+    # SLOWER than the per-op paged path on hardware (serving.py gate
+    # comment) — tests opt in explicitly
+    monkeypatch.setenv("LLMI_PAGED_MEGAKERNEL", "1")
 
 
 def _prefill_pools(hp, w, prompts, tables):
