@@ -89,7 +89,8 @@ def _golden_stream(prompt):
     return _golden
 
 
-@pytest.mark.parametrize("mode", ["parity", "serve-q8", "serve-q4"])
+@pytest.mark.parametrize("mode",
+                         ["parity", "serve", "serve-q", "serve-q8", "serve-q4"])
 def test_greedy_stream_parity_1b_geometry(mode):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import bench
