@@ -31,14 +31,23 @@ GEOM = GEOM_1B
 # Gemma-3-4B geometry — the BASELINE config-2 Q4_K_M-class model
 GEOM_4B = dict(n_layers=34, n_embd=2560, n_ff=10240, n_head=8, n_head_kv=4,
                head_dim=256)
+# gemma4 (per-layer-input / shared-KV, reference model.cpp:568-704)
+# geometry sized so the whole-layer rowq8 megakernel's double buffer
+# fits VMEM (3*D*F dominates; F=4096 keeps a layer ~37 MB int8)
+GEOM_G4 = dict(n_layers=24, n_embd=2048, n_ff=4096, n_head=8, n_head_kv=2,
+               n_embd_per_layer=256, shared_kv_layers=4)
 VOCAB_SIZE = 262144
 
-# LLMI_BENCH_GEOM: 1b (default) | 4b.  LLMI_BENCH_FMT: q4_0 (default) |
-# q8_0 | q4_k — the checkpoint's weight quantization (BASELINE config 2).
+# LLMI_BENCH_GEOM: 1b (default) | 4b | g4 (gemma4 arch).  LLMI_BENCH_FMT:
+# q4_0 (default) | q8_0 | q4_k — the checkpoint's weight quantization
+# (BASELINE config 2).
 GEOM_NAME = os.environ.get("LLMI_BENCH_GEOM", "1b")
 FMT = os.environ.get("LLMI_BENCH_FMT", "q4_0")
 if GEOM_NAME == "4b":
     GEOM = GEOM_4B
+elif GEOM_NAME == "g4":
+    GEOM = GEOM_G4
+ARCH_NAME = "gemma4" if GEOM_NAME == "g4" else "gemma3"
 
 CACHE = Path(os.environ.get(
     "LLMI_BENCH_GGUF", f"/tmp/llmi_bench_gemma3_{GEOM_NAME}_{FMT}.gguf"))
@@ -53,7 +62,7 @@ DECODE_CHUNK = int(os.environ.get("LLMI_BENCH_CHUNK", "256"))
 
 
 def build_checkpoint() -> None:
-    from fixtures import build_gemma3_gguf
+    from fixtures import build_gemma3_gguf, build_gemma4_gguf
 
     from llm_inference_tpu.gguf.constants import GGMLType
 
@@ -63,7 +72,8 @@ def build_checkpoint() -> None:
     vocab[1] = "<eos>"
     vocab[2] = "<bos>"
     vocab[3] = "<unk>"
-    buf = build_gemma3_gguf(vocab=vocab, seed=20260816, weight_fmt=fmt, **GEOM)
+    builder = build_gemma4_gguf if GEOM_NAME == "g4" else build_gemma3_gguf
+    buf = builder(vocab=vocab, seed=20260816, weight_fmt=fmt, **GEOM)
     tmp = CACHE.with_suffix(".tmp")
     tmp.write_bytes(buf)
     tmp.rename(CACHE)
@@ -183,7 +193,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"decode_tok_s_gemma3_{GEOM_NAME}_{FMT}",
+                "metric": f"decode_tok_s_{ARCH_NAME}_{GEOM_NAME}_{FMT}",
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
@@ -239,7 +249,7 @@ def bench_batched(mode: str, batch: int) -> None:
     print(
         json.dumps(
             {
-                "metric": f"decode_tok_s_gemma3_{GEOM_NAME}_{FMT}_batch{batch}"
+                "metric": f"decode_tok_s_{ARCH_NAME}_{GEOM_NAME}_{FMT}_batch{batch}"
                 + ("_paged" if kv_pages else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
