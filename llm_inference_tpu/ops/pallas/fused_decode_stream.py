@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +59,10 @@ from .fused_decode import (
 )
 
 _BUFFER_BUDGET = 110 * 1024 * 1024
-_TILE_TARGET = 6 * 1024 * 1024  # per-slot bytes (quants + scales + offsets)
+# per-slot bytes (quants + scales + offsets); LLMI_STREAM_TILE_KB sweeps
+# the tile size on hardware (tools/hw profiling of the capacity kernel)
+_TILE_TARGET = int(os.environ.get("LLMI_STREAM_TILE_KB",
+                                  str(6 * 1024))) * 1024
 _MAX_DOTS = 640  # unrolled MXU dot cap (trace/compile-time guard)
 
 
@@ -337,7 +341,8 @@ def _tile_dot(qb, sb, ob, slot, xm_full, m, t):
 
 
 def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
-                 eps, attn_scale, softcap, has_pa, has_pf, plans):
+                 eps, attn_scale, softcap, has_pa, has_pf, plans,
+                 no_attn=False):
     group = H // Hkv
     nt_log = V // TN
 
@@ -505,35 +510,41 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             wk.wait()
             wv.wait()
 
-            ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-            # causal + optional per-layer sliding window (real SWA; see
-            # fused_decode.py / models/gemma.py _masked_scores)
-            wl = win_r[l]
-            valid = (ids <= p) & ((wl <= 0) | (ids > p - wl))
-            outs = []
-            for i in range(Hkv):
-                qi = qb[i * group : (i + 1) * group, :]
-                ki = kb[slot_kv][:, i * dk : (i + 1) * dk]
-                s = jax.lax.dot_general(
-                    qi, ki,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if softcap > 0.0:
-                    s = softcap * jnp.tanh(s / softcap)
-                s = jnp.where(valid, s, -jnp.inf)
-                mx = jnp.max(s, axis=1, keepdims=True)
-                pr = jnp.where(valid, jnp.exp(s - mx), 0.0)
-                denom = jnp.sum(pr, axis=1, keepdims=True)
-                vi = vb[slot_kv][:, i * dv : (i + 1) * dv]
-                pv = jax.lax.dot_general(
-                    pr.astype(jnp.bfloat16), vi,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                outs.append(pv / denom)
-            attn = outs[0] if Hkv == 1 else jnp.concatenate(outs, axis=0)
-            attn_flat = attn.reshape(1, H * dv).astype(jnp.bfloat16)
+            if no_attn:
+                # PERF DIAGNOSTIC ONLY (LLMI_STREAM_NO_ATTN=1): skip the
+                # serial attention chain, keep every DMA — the time delta
+                # vs a normal run is the UNHIDDEN attention cost.
+                attn_flat = jnp.zeros((1, H * dv), dtype=jnp.bfloat16)
+            else:
+                ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+                # causal + optional per-layer sliding window (real SWA; see
+                # fused_decode.py / models/gemma.py _masked_scores)
+                wl = win_r[l]
+                valid = (ids <= p) & ((wl <= 0) | (ids > p - wl))
+                outs = []
+                for i in range(Hkv):
+                    qi = qb[i * group : (i + 1) * group, :]
+                    ki = kb[slot_kv][:, i * dk : (i + 1) * dk]
+                    s = jax.lax.dot_general(
+                        qi, ki,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if softcap > 0.0:
+                        s = softcap * jnp.tanh(s / softcap)
+                    s = jnp.where(valid, s, -jnp.inf)
+                    mx = jnp.max(s, axis=1, keepdims=True)
+                    pr = jnp.where(valid, jnp.exp(s - mx), 0.0)
+                    denom = jnp.sum(pr, axis=1, keepdims=True)
+                    vi = vb[slot_kv][:, i * dv : (i + 1) * dv]
+                    pv = jax.lax.dot_general(
+                        pr.astype(jnp.bfloat16), vi,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    outs.append(pv / denom)
+                attn = outs[0] if Hkv == 1 else jnp.concatenate(outs, axis=0)
+                attn_flat = attn.reshape(1, H * dv).astype(jnp.bfloat16)
 
             def wo_tail(t):
                 if t == plans[1]["nt"] - 1:
@@ -626,13 +637,13 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
-                     "has_pa", "has_pf", "plan_key", "interpret"),
+                     "has_pa", "has_pf", "plan_key", "no_attn", "interpret"),
 )
 def _run_step(
     token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on, pan, pfn,
     wparts, emb, kc, vc,
     *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
-    plan_key, interpret=False,
+    plan_key, no_attn=False, interpret=False,
 ):
     # plan_key: hashable per-part meta (rebuilt into dicts here so the jit
     # cache keys on it; the array shapes alone don't capture gs/bg/packed)
@@ -683,7 +694,7 @@ def _run_step(
     kernel = _make_kernel(
         L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim, V=V,
         S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
-        has_pa=has_pa, has_pf=has_pf, plans=plans,
+        has_pa=has_pa, has_pf=has_pf, plans=plans, no_attn=no_attn,
     )
     scratch += [
         pltpu.VMEM((2, S, Hkv * dk), kc.dtype),
@@ -780,6 +791,8 @@ def decode_step_megakernel_stream(hp, w, cache, token, pos, *, windows=None,
         softcap=hp.attn_soft_cap or 0.0,
         H=hp.n_head, Hkv=hp.n_head_kv, dk=dk, dv=dv,
         has_pa=has_pa, has_pf=has_pf,
-        plan_key=_freeze(plans), interpret=interpret,
+        plan_key=_freeze(plans),
+        no_attn=os.environ.get("LLMI_STREAM_NO_ATTN", "0") == "1",
+        interpret=interpret,
     )
     return (logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape))
