@@ -134,7 +134,8 @@ def run_12b(generate: int, profile: bool = False) -> None:
     path = build("12b")
     t0 = time.time()
     eng = Engine(str(path), max_seq=1024, mode="serve-q4", decode_chunk=64)
-    print(f"12B serve-q4 load: {time.time()-t0:.0f}s", flush=True)
+    load_s = time.time() - t0
+    print(f"12B serve-q4 load: {load_s:.0f}s", flush=True)
     # which decode path did the engine pick? (VERDICT r3: verify the
     # streamed capacity megakernel actually fires at the 12B geometry)
     from llm_inference_tpu.models.gemma import _megakernel_stream_enabled
@@ -175,6 +176,7 @@ def run_12b(generate: int, profile: bool = False) -> None:
                 "unit": "tok/s",
                 "streamed_megakernel": bool(stream_on),
                 "ttft_ms": round(st.prefill_seconds * 1e3, 1),
+                "load_s": round(load_s, 1),
             }), flush=True)
     if profile:
         profile_12b(eng)
