@@ -528,19 +528,21 @@ def load_maskdot_stacked(
         "post_ffw_norm": ("post_ffw_norm.weight", "ffn_post_norm.weight"),
     }
 
-    # Single-chip path: per-layer DONATED device updates instead of a
-    # full-model host assembly + one big device_put at the end. Each
-    # update dispatch only ENQUEUES its transfer (XLA stages and sends on
-    # its own threads, GIL-free), so layer i's upload rides the tunnel
-    # while the host repacks layer i+1 — and the multi-GB host staging
-    # array disappears. The mesh (TP) path keeps the host assembly: its
-    # leaves need a one-shot sharded placement.
+    # Single-chip path: per-layer DONATED device updates (ONE dispatch per
+    # layer covering every field — a per-ARRAY dispatch variant measured
+    # 616 s vs 477 s for the host-assembly baseline on the 12B: ~430
+    # tunnel-latency round trips ate the overlap) plus a one-worker
+    # producer thread, so layer i+1's host repack (numpy/native, GIL-
+    # releasing) overlaps layer i's tunnel transfer. The multi-GB host
+    # staging array also disappears. The mesh (TP) path keeps the host
+    # assembly: its leaves need a one-shot sharded placement.
     stream = mesh is None
 
-    def _upd(buf, x, i):
-        return jax.lax.dynamic_update_slice(buf, x[None], (i, 0, 0))
+    def _upd_all(bufs, rows, i):
+        return [jax.lax.dynamic_update_slice(b, x[None], (i, 0, 0))
+                for b, x in zip(bufs, rows)]
 
-    upd_jit = jax.jit(_upd, donate_argnums=(0,))
+    upd_all = jax.jit(_upd_all, donate_argnums=(0,))
 
     def _merged(parts, key, fill_missing=False):
         rows = [
@@ -550,7 +552,10 @@ def load_maskdot_stacked(
         ]
         return rows[0] if len(rows) == 1 else np.concatenate(rows, axis=-1)
 
-    for i in range(hp.block_count):
+    def _layer_parts(i):
+        """Host-side repack of ONE layer: {field: (q, s, o|None, meta)} +
+        the layer's norm vectors, or None when ineligible."""
+        out = {}
         for field, names in fused_sets.items():
             parts = []
             for n in names:
@@ -574,66 +579,89 @@ def load_maskdot_stacked(
             )
             if not same:
                 return None
-            slot = acc[field]
-            if slot["meta"] is None:
-                slot["meta"] = first
-            else:
-                # cross-LAYER consistency: llama.cpp checkpoints mix
-                # formats across layers (use_more_bits); a mismatched fmt,
-                # centering, or geometry must fall back to the standard
-                # loader rather than stack under layer-0's meta — a
-                # same-shape Q4_0/Q4_K mix would otherwise decode layer
-                # quants with the wrong centering, silently corrupting.
-                m0 = slot["meta"]
-                if (
-                    m0["fmt"] != first["fmt"]
-                    or (m0["packedT"] is None) != (first["packedT"] is None)
-                    or m0["gs"] != first["gs"] or m0["bg"] != first["bg"]
-                    or m0["mp"] != first["mp"]
-                    or m0["centered"] != first["centered"]
-                    or (m0["offT"] is None) != (first["offT"] is None)
-                ):
-                    return None
-            # write the fused parts straight into the preallocated
-            # [L, ...] stacked arrays (np.stack of the full model measured
-            # 3x slower than slice-fill on this class of host, and the
-            # intermediate per-layer concat copy disappears entirely)
-            key_s = "sT"
-            if slot["q"] is None:
-                L_ = hp.block_count
-                rt = sum(p[key].shape[-1] for p in parts)
-                alloc = jnp.zeros if stream else np.empty
-                slot["q"] = alloc((L_, first[key].shape[0], rt),
-                                  dtype=first[key].dtype)
-                slot["s"] = alloc((L_, first[key_s].shape[0], rt),
-                                  dtype=np.float32)
-                if any(p["offT"] is not None for p in parts):
-                    slot["o"] = alloc(slot["s"].shape, dtype=np.float32)
-            if stream:
-                slot["q"] = upd_jit(slot["q"], jnp.asarray(_merged(parts, key)), i)
-                slot["s"] = upd_jit(slot["s"], jnp.asarray(_merged(parts, "sT")), i)
-                if slot["o"] is not None:
-                    slot["o"] = upd_jit(
-                        slot["o"],
-                        jnp.asarray(_merged(parts, "offT", fill_missing=True)),
-                        i)
-            else:
-                r0 = 0
-                for p in parts:
-                    r1 = r0 + p[key].shape[-1]
-                    slot["q"][i, :, r0:r1] = p[key]
-                    slot["s"][i, :, r0:r1] = p["sT"]
-                    if slot["o"] is not None:
-                        slot["o"][i, :, r0:r1] = (
-                            p["offT"] if p["offT"] is not None else 0.0)
-                    r0 = r1
+            o = (_merged(parts, "offT", fill_missing=True)
+                 if any(p["offT"] is not None for p in parts) else None)
+            out[field] = (_merged(parts, key), _merged(parts, "sT"), o, first)
+        vec = {}
         for field in vec_fields:
             info = None
             for n in vec_names[field]:
                 info = infos.get(f"blk.{i}.{n}")
                 if info is not None:
                     break
-            vecs[field].append(None if info is None else np.asarray(_load_v(gguf, info)))
+            if info is not None and info.tensor_type != GGMLType.F32:
+                return None  # norms must be F32 (_load_v's contract)
+            vec[field] = (None if info is None else
+                          np.ascontiguousarray(gguf.tensor_bytes(info))
+                          .view(np.float32).copy())
+        return out, vec
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1) if stream else None
+    fut = ex.submit(_layer_parts, 0) if stream else None
+    try:
+        for i in range(hp.block_count):
+            res = fut.result() if stream else _layer_parts(i)
+            if res is None:
+                return None
+            if stream and i + 1 < hp.block_count:
+                fut = ex.submit(_layer_parts, i + 1)
+            per_field, vec = res
+            for field, (q, s, o, first) in per_field.items():
+                slot = acc[field]
+                if slot["meta"] is None:
+                    slot["meta"] = first
+                else:
+                    # cross-LAYER consistency: llama.cpp checkpoints mix
+                    # formats across layers (use_more_bits); a mismatched
+                    # fmt, centering, or geometry must fall back to the
+                    # standard loader rather than stack under layer-0's
+                    # meta — a same-shape Q4_0/Q4_K mix would otherwise
+                    # decode layer quants with the wrong centering,
+                    # silently corrupting.
+                    m0 = slot["meta"]
+                    if (
+                        m0["fmt"] != first["fmt"]
+                        or (m0["packedT"] is None) != (first["packedT"] is None)
+                        or m0["gs"] != first["gs"] or m0["bg"] != first["bg"]
+                        or m0["mp"] != first["mp"]
+                        or m0["centered"] != first["centered"]
+                        or (m0["offT"] is None) != (first["offT"] is None)
+                    ):
+                        return None
+                if slot["q"] is None:
+                    L_ = hp.block_count
+                    alloc = jnp.zeros if stream else np.empty
+                    slot["q"] = alloc((L_,) + q.shape, dtype=q.dtype)
+                    slot["s"] = alloc((L_,) + s.shape, dtype=np.float32)
+                    if o is not None:
+                        slot["o"] = alloc((L_,) + o.shape, dtype=np.float32)
+            if stream:
+                bufs, rows, keys = [], [], []
+                for field, (q, s, o, _) in per_field.items():
+                    slot = acc[field]
+                    for kname, arr in (("q", q), ("s", s), ("o", o)):
+                        if arr is None:
+                            continue
+                        bufs.append(slot[kname])
+                        rows.append(jnp.asarray(arr))
+                        keys.append((field, kname))
+                new = upd_all(bufs, rows, i)
+                for (field, kname), b in zip(keys, new):
+                    acc[field][kname] = b
+            else:
+                for field, (q, s, o, _) in per_field.items():
+                    slot = acc[field]
+                    slot["q"][i] = q
+                    slot["s"][i] = s
+                    if o is not None:
+                        slot["o"][i] = o
+            for field in vec_fields:
+                vecs[field].append(vec[field])
+    finally:
+        if ex is not None:
+            ex.shutdown(wait=False)
 
     def _put(arr: np.ndarray):
         if mesh is None:
