@@ -342,7 +342,7 @@ def _tile_dot(qb, sb, ob, slot, xm_full, m, t):
 
 def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                  eps, attn_scale, softcap, has_pa, has_pf, plans,
-                 no_attn=False):
+                 no_attn=False, no_logits=False):
     group = H // Hkv
     nt_log = V // TN
 
@@ -588,6 +588,13 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 
         h_s[:] = (_rms(x_s[:], eps) * on_r[:]).astype(jnp.bfloat16)
 
+        if no_logits:
+            # PERF DIAGNOSTIC ONLY (LLMI_STREAM_NO_LOGITS=1): skip the
+            # tied-embedding tail (~2 GB/step at the 12B geometry) — the
+            # delta vs a normal run is the tail's cost. The logits output
+            # is left UNWRITTEN (garbage tokens; perf numbers only).
+            return
+
         # tied-embedding logits: bf16 [TN, D] tiles, double-buffered
         def lcopies(t, s_):
             off = pl.multiple_of(t * TN, 16)
@@ -637,13 +644,14 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
-                     "has_pa", "has_pf", "plan_key", "no_attn", "interpret"),
+                     "has_pa", "has_pf", "plan_key", "no_attn", "no_logits",
+                     "interpret"),
 )
 def _run_step(
     token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on, pan, pfn,
     wparts, emb, kc, vc,
     *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
-    plan_key, no_attn=False, interpret=False,
+    plan_key, no_attn=False, no_logits=False, interpret=False,
 ):
     # plan_key: hashable per-part meta (rebuilt into dicts here so the jit
     # cache keys on it; the array shapes alone don't capture gs/bg/packed)
@@ -695,6 +703,7 @@ def _run_step(
         L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim, V=V,
         S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
         has_pa=has_pa, has_pf=has_pf, plans=plans, no_attn=no_attn,
+        no_logits=no_logits,
     )
     scratch += [
         pltpu.VMEM((2, S, Hkv * dk), kc.dtype),
@@ -793,6 +802,7 @@ def decode_step_megakernel_stream(hp, w, cache, token, pos, *, windows=None,
         has_pa=has_pa, has_pf=has_pf,
         plan_key=_freeze(plans),
         no_attn=os.environ.get("LLMI_STREAM_NO_ATTN", "0") == "1",
+        no_logits=os.environ.get("LLMI_STREAM_NO_LOGITS", "0") == "1",
         interpret=interpret,
     )
     return (logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape))
