@@ -788,6 +788,7 @@ def forward_batched_decode_paged(
     tokens: Array,   # [B] int32
     pos: Array,      # [B] int32; parked slots use pos >= max_blocks*PAGE
     ring_layers: tuple[int, ...] = (),  # KV layers allocated as SWA rings
+    nb_cap: int | None = None,  # static bound on live blocks (flash grid)
 ) -> tuple[Array, KVCache]:
     """One batched decode step over a PAGED KV cache: HBM capacity (and
     attention traffic) scale with the pool's live tokens, not
@@ -923,6 +924,7 @@ def forward_batched_decode_paged(
             attn = paged_flash_decode(
                 q, new_k[src], new_v[src], table_i, lengths, starts,
                 softcap=hp.attn_soft_cap or 0.0, dsplit=dsplit,
+                nb_cap=nb_cap,
             ).reshape(B, hp.n_head * dv)
         else:
             # gather-to-dense fallback (CPU tests / ALiBi): [B, S_max, ...]

@@ -176,7 +176,8 @@ def _starts_or_zeros(starts, lengths):
     return starts.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("softcap", "interpret", "dsplit"))
+@functools.partial(jax.jit,
+                   static_argnames=("softcap", "interpret", "dsplit", "nb_cap"))
 def paged_flash_decode(
     q: Array,  # [B, H, Dk] f32 (already scaled)
     k_pool: Array,  # [N_pages, PAGE, Hkv, Dk]; dsplit: [N, PAGE, Dk/128, 128]
@@ -188,6 +189,7 @@ def paged_flash_decode(
     softcap: float = 0.0,
     interpret: bool = False,
     dsplit: bool = False,
+    nb_cap: int | None = None,
 ) -> Array:
     """Paged variant of :func:`flash_decode`: the KV cache lives in a
     shared PAGE POOL and each request's blocks indirect through a
@@ -202,7 +204,17 @@ def paged_flash_decode(
     ``dsplit``: the pools hold ONE real KV head of dim m*128 stored as
     [N, PAGE, m, 128] (the layout the in-place row-insert kernel lowers
     for; models/gemma.py picks it for degenerate n_head_kv=1 caches).
-    q stays [B, H, m*128]; the kernel sums the QK dot over the chunks."""
+    q stays [B, H, m*128]; the kernel sums the QK dot over the chunks.
+
+    ``nb_cap`` (static): upper bound on live blocks across the batch —
+    the grid shrinks to (B, min(nb, nb_cap)). Without it the grid always
+    walks table.shape[1] key blocks per lane even when every lane is a
+    few hundred tokens deep: at batch 32 x 4k that is 512 grid steps per
+    layer whose DMAs are elided but whose iteration overhead is not
+    (round-4 roofline: the paged step's dominant unattributed cost).
+    Callers bucket ceil(max(lengths)/PAGE) up (serving.py step()); a cap
+    smaller than a lane's live depth would silently truncate attention,
+    so it is the caller's contract to over- not under-shoot."""
     B, H, Dk = q.shape
     N, page, Hkv, Dv = v_pool.shape
     if dsplit:
@@ -214,6 +226,8 @@ def paged_flash_decode(
                 f"{k_pool.shape} v {v_pool.shape} for Dk={Dk}")
         Dv = mv * 128
     nb = table.shape[1]
+    if nb_cap is not None:
+        nb = max(1, min(nb, int(nb_cap)))
 
     def pagemap(b, j, lens, starts_, tbl):
         # clamp j into the request's live window [first, last] (skips

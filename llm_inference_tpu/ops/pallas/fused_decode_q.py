@@ -206,19 +206,21 @@ def _qdot(qref, sref, offref, bsel, x_bf, *, gs, geom, packed=False,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Mp, R]
-        part = jnp.sum(sblk * pb, axis=0, keepdims=True)
+        # accumulate [Mp, R] ELEMENTWISE; the single cross-sublane reduce
+        # happens once after the block loop (sum linearity) — the
+        # per-block axis-0 sum this replaces is the VPU's slow shuffle
+        # path, repeated nblk times per part
+        contrib = sblk * pb  # [Mp, R]
         if offref is not None:
             # offset term: y[r] -= sum_g off[g, r] * sum_{c in g} x[c]
             # (Q4_K mins; sign-hi folding already adjusted the hi rows)
             xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)  # [Mp, 1]
-            part = part - jnp.sum(
-                offref[bsel, b * Mp : (b + 1) * Mp, :] * xg, axis=0, keepdims=True
-            )
+            contrib = contrib - offref[bsel, b * Mp : (b + 1) * Mp, :] * xg
         elif packed and centered:
             xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
-            part = part - jnp.sum(lom8 * sblk * xg, axis=0, keepdims=True)
-        acc = part if acc is None else acc + part
-    return acc
+            contrib = contrib - lom8 * sblk * xg
+        acc = contrib if acc is None else acc + contrib
+    return jnp.sum(acc, axis=0, keepdims=True)
 
 
 def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,

@@ -139,19 +139,22 @@ def _base_need(plans, D, Hkv, dk, dv, max_seq):
     return need
 
 
-def _pick_tn(V, D, base_need):
+def _pick_tn(V, D, base_need, ldepth=2):
     """Largest logits tile TN (<=_LOGITS_TILE, dividing V, lane-aligned)
-    whose two bf16 [TN, D] buffers fit the remaining VMEM budget. The 1B
-    geometry keeps TN=4096; capacity models (D 3840+) shrink it so the
-    fixed tile no longer blows the budget. None when even TN=256 fails."""
+    whose ``ldepth`` bf16 [TN, D] buffers fit the remaining VMEM budget.
+    The 1B geometry keeps TN=4096; capacity models (D 3840+) shrink it so
+    the fixed tile no longer blows the budget. None when even TN=256
+    fails. ``ldepth`` is the logits stream pipeline depth
+    (LLMI_STREAM_LDEPTH): deeper keeps more embedding-tile DMAs in
+    flight at the cost of a smaller tile."""
     if V <= _LOGITS_TILE:
         tn = V
         if V % LANE:
             return None
-        return tn if base_need + 2 * tn * D * 2 <= _BUFFER_BUDGET else None
+        return tn if base_need + ldepth * tn * D * 2 <= _BUFFER_BUDGET else None
     tn = _LOGITS_TILE
     while tn >= 256:
-        if V % tn == 0 and base_need + 2 * tn * D * 2 <= _BUFFER_BUDGET:
+        if V % tn == 0 and base_need + ldepth * tn * D * 2 <= _BUFFER_BUDGET:
             return tn
         tn //= 2
     return None
@@ -299,6 +302,10 @@ def _tile_dot(qb, sb, ob, slot, xm_full, m, t):
         sub1 = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
         lom8 = 8.0 * jnp.maximum(
             0, jnp.minimum(1, m["bg"] // 2 - sub1)).astype(jnp.float32)
+    # accumulate [Mp, TR] ELEMENTWISE per block and sublane-reduce ONCE
+    # per tile: the per-block jnp.sum(axis=0) this replaces is a
+    # cross-sublane reduction — the VPU's slow shuffle path — repeated
+    # nblk times per tile (sum linearity makes the two orders equal)
     acc = None
     for b in range(nblk):
         xm = xm_full[:, b * BC : (b + 1) * BC]
@@ -327,24 +334,33 @@ def _tile_dot(qb, sb, ob, slot, xm_full, m, t):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Mp, TR]
-        part = jnp.sum(sblk * pb, axis=0, keepdims=True)
+        contrib = sblk * pb  # [Mp, TR]
         if ob is not None:
             xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
-            part = part - jnp.sum(
-                ob[slot, b * Mp : (b + 1) * Mp, :] * xg, axis=0, keepdims=True
-            )
+            contrib = contrib - ob[slot, b * Mp : (b + 1) * Mp, :] * xg
         elif m["packed"] and m["centered"]:
             xg = jnp.sum(xm.astype(jnp.float32), axis=1, keepdims=True)
-            part = part - jnp.sum(lom8 * sblk * xg, axis=0, keepdims=True)
-        acc = part if acc is None else acc + part
-    return acc
+            contrib = contrib - lom8 * sblk * xg
+        acc = contrib if acc is None else acc + contrib
+    return jnp.sum(acc, axis=0, keepdims=True)
 
 
 def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                  eps, attn_scale, softcap, has_pa, has_pf, plans,
-                 no_attn=False, no_logits=False):
+                 no_attn=False, no_logits=False, ldepth=2, defer_wb=False,
+                 eager=True):
     group = H // Hkv
     nt_log = V // TN
+
+    def head_trigger(i):
+        """run_part tile index at which the NEXT part's head DMAs issue.
+        eager (default): 2 tiles before the end, so the DMA queue never
+        drains at a part boundary — triggering at the LAST tile (the old
+        schedule, LLMI_STREAM_EAGER=0) leaves the engine idle for the
+        final two tile-computes and then exposes the next head's copy
+        latency; ~4 boundaries x 48 layers of that is milliseconds at
+        the 12B geometry."""
+        return max(0, plans[i]["nt"] - 3) if eager else plans[i]["nt"] - 1
 
     def kernel(*refs):
         idx = 0
@@ -469,7 +485,7 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             h = (_rms(x, eps) * an_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
 
             def qkv_tail(t):
-                if t == plans[0]["nt"] - 1:
+                if t == head_trigger(0):
                     start_head(1, l)  # wo tiles ride under attention
 
             qkv = run_part(0, l, h, tail=qkv_tail)  # [1, Rq]
@@ -507,8 +523,15 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 vc_out.at[l, pl.ds(p0, 16), :], wbsem.at[1])
             wk.start()
             wv.start()
-            wk.wait()
-            wv.wait()
+            if not defer_wb:
+                wk.wait()
+                wv.wait()
+            # defer_wb (LLMI_STREAM_DEFER_WB=1): the 16-row HBM writeback
+            # flies under the FFN stream instead of blocking here. Its
+            # wait moves to down_tail (just before kv_copies(l+1) — the
+            # first point that could overwrite the kb/vb parity slot a
+            # writeback still reads) + the post-loop epilogue for the
+            # final layer.
 
             if no_attn:
                 # PERF DIAGNOSTIC ONLY (LLMI_STREAM_NO_ATTN=1): skip the
@@ -547,7 +570,7 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 attn_flat = attn.reshape(1, H * dv).astype(jnp.bfloat16)
 
             def wo_tail(t):
-                if t == plans[1]["nt"] - 1:
+                if t == head_trigger(1):
                     start_head(2, l)
 
             y = run_part(1, l, attn_flat, tail=wo_tail)
@@ -557,7 +580,7 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             h2 = (_rms(x2, eps) * fn_r[pl.ds(l, 1), :]).astype(jnp.bfloat16)
 
             def gu_tail(t):
-                if t == plans[2]["nt"] - 1:
+                if t == head_trigger(2):
                     start_head(3, l)
 
             gu = run_part(2, l, h2, tail=gu_tail)  # [1, 2F]
@@ -568,15 +591,43 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 
             def down_tail(t):
                 if t == 0:
-                    # next layer's cache rides under the down stream
+                    if defer_wb:
+                        # layer l-1's deferred writeback reads
+                        # kb/vb[1 - slot_kv] — the slot kv_copies(l + 1)
+                        # are about to overwrite. It has had a full layer
+                        # of stream time; this wait is bookkeeping, not a
+                        # stall.
+                        @pl.when(l >= 1)
+                        def _():
+                            pltpu.make_async_copy(
+                                kb.at[1 - slot_kv, pl.ds(p0, 16), :],
+                                kc_out.at[l - 1, pl.ds(p0, 16), :],
+                                wbsem.at[0]).wait()
+                            pltpu.make_async_copy(
+                                vb.at[1 - slot_kv, pl.ds(p0, 16), :],
+                                vc_out.at[l - 1, pl.ds(p0, 16), :],
+                                wbsem.at[1]).wait()
+
+                    if not eager:
+                        # old schedule: the 16.8 MB/layer cache DMA
+                        # enqueues BEFORE down tiles >= 2, delaying them
+                        @pl.when(l + 1 < L)
+                        def _():
+                            for c_ in kv_copies(l + 1, 1 - slot_kv):
+                                c_.start()
+                if t == head_trigger(3):
+                    @pl.when(l + 1 < L)
+                    def _():
+                        start_head(0, l + 1)
+                if eager and t == plans[3]["nt"] - 1:
+                    # cache for layer l+1 queues AFTER every down tile and
+                    # after the next qkv head: it streams under the next
+                    # layer's qkv compute and is only awaited at its
+                    # attention
                     @pl.when(l + 1 < L)
                     def _():
                         for c_ in kv_copies(l + 1, 1 - slot_kv):
                             c_.start()
-                if t == plans[3]["nt"] - 1:
-                    @pl.when(l + 1 < L)
-                    def _():
-                        start_head(0, l + 1)
 
             y3 = run_part(3, l, a.astype(jnp.bfloat16), tail=down_tail)
             if has_pf:
@@ -585,6 +636,19 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             return carry
 
         jax.lax.fori_loop(0, L, body, 0)
+
+        if defer_wb:
+            # the final layer's writeback is the only one still unwaited
+            # (down_tail(l) waited layer l-1's for l = 1..L-1)
+            pe = pos_r[0]
+            pe0 = pl.multiple_of((pe // 16) * 16, 16)
+            sl = (L - 1) % 2
+            pltpu.make_async_copy(
+                kb.at[sl, pl.ds(pe0, 16), :],
+                kc_out.at[L - 1, pl.ds(pe0, 16), :], wbsem.at[0]).wait()
+            pltpu.make_async_copy(
+                vb.at[sl, pl.ds(pe0, 16), :],
+                vc_out.at[L - 1, pl.ds(pe0, 16), :], wbsem.at[1]).wait()
 
         h_s[:] = (_rms(x_s[:], eps) * on_r[:]).astype(jnp.bfloat16)
 
@@ -595,7 +659,9 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             # is left UNWRITTEN (garbage tokens; perf numbers only).
             return
 
-        # tied-embedding logits: bf16 [TN, D] tiles, double-buffered
+        # tied-embedding logits: bf16 [TN, D] tiles, ldepth-deep stream
+        # (LLMI_STREAM_LDEPTH; 2 = classic double buffer). The output
+        # writeback stays its own 2-deep pipeline regardless of ldepth.
         def lcopies(t, s_):
             off = pl.multiple_of(t * TN, 16)
             return [
@@ -608,15 +674,18 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             return pltpu.make_async_copy(
                 lo_b.at[s_], logits_out.at[:, pl.ds(off, TN)], osem.at[s_])
 
-        for c in lcopies(0, 0):
-            c.start()
+        for tt in range(min(ldepth - 1, nt_log)):
+            for c in lcopies(tt, tt % ldepth):
+                c.start()
 
         def lbody(t, carry):
-            s_ = jax.lax.rem(t, 2)
+            s_ = jax.lax.rem(t, ldepth)
+            o_ = jax.lax.rem(t, 2)
 
-            @pl.when(t + 1 < nt_log)
+            @pl.when(t + ldepth - 1 < nt_log)
             def _():
-                for c in lcopies(t + 1, 1 - s_):
+                for c in lcopies(t + ldepth - 1,
+                                 jax.lax.rem(t + ldepth - 1, ldepth)):
                     c.start()
 
             for c in lcopies(t, s_):
@@ -624,14 +693,14 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
 
             @pl.when(t >= 2)
             def _():
-                ocopy(t - 2, s_).wait()
+                ocopy(t - 2, o_).wait()
 
-            lo_b[s_] = jax.lax.dot_general(
+            lo_b[o_] = jax.lax.dot_general(
                 h_s[:], lw_b[s_],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ocopy(t, s_).start()
+            ocopy(t, o_).start()
             return carry
 
         jax.lax.fori_loop(0, nt_log, lbody, 0)
@@ -645,13 +714,14 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
     jax.jit,
     static_argnames=("eps", "attn_scale", "softcap", "H", "Hkv", "dk", "dv",
                      "has_pa", "has_pf", "plan_key", "no_attn", "no_logits",
-                     "interpret"),
+                     "ldepth", "defer_wb", "eager", "interpret"),
 )
 def _run_step(
     token, pos, base_idx, windows, cos, sin, an, fn_, qn, kn, on, pan, pfn,
     wparts, emb, kc, vc,
     *, eps, attn_scale, softcap, H, Hkv, dk, dv, has_pa, has_pf,
-    plan_key, no_attn=False, no_logits=False, interpret=False,
+    plan_key, no_attn=False, no_logits=False, ldepth=2, defer_wb=False,
+    eager=True, interpret=False,
 ):
     # plan_key: hashable per-part meta (rebuilt into dicts here so the jit
     # cache keys on it; the array shapes alone don't capture gs/bg/packed)
@@ -663,7 +733,7 @@ def _run_step(
     F = plans[3]["C"]
     V = emb.shape[0]
     S = kc.shape[1]  # [L, S, Hkv*dk]
-    TN = _pick_tn(V, D, _base_need(plans, D, Hkv, dk, dv, S))
+    TN = _pick_tn(V, D, _base_need(plans, D, Hkv, dk, dv, S), ldepth)
     if TN is None:
         raise ValueError("streamed megakernel: no logits tile fits VMEM")
     if S % 16:
@@ -703,13 +773,13 @@ def _run_step(
         L=L, H=H, Hkv=Hkv, dk=dk, dv=dv, D=D, F=F, Rq=Rq, Adim=Adim, V=V,
         S=S, TN=TN, eps=eps, attn_scale=attn_scale, softcap=softcap,
         has_pa=has_pa, has_pf=has_pf, plans=plans, no_attn=no_attn,
-        no_logits=no_logits,
+        no_logits=no_logits, ldepth=ldepth, defer_wb=defer_wb, eager=eager,
     )
     scratch += [
         pltpu.VMEM((2, S, Hkv * dk), kc.dtype),
         pltpu.VMEM((2, S, Hkv * dv), vc.dtype),
         pltpu.VMEM((16, D), jnp.bfloat16),
-        pltpu.VMEM((2, TN, D), jnp.bfloat16),
+        pltpu.VMEM((ldepth, TN, D), jnp.bfloat16),
         pltpu.VMEM((2, 1, TN), jnp.float32),
         pltpu.VMEM((1, D), jnp.float32),
         pltpu.VMEM((1, D), jnp.bfloat16),
@@ -718,7 +788,7 @@ def _run_step(
     scratch += [
         pltpu.SemaphoreType.DMA((2, 2)),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((ldepth,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((1,)),
     ]
@@ -803,6 +873,9 @@ def decode_step_megakernel_stream(hp, w, cache, token, pos, *, windows=None,
         plan_key=_freeze(plans),
         no_attn=os.environ.get("LLMI_STREAM_NO_ATTN", "0") == "1",
         no_logits=os.environ.get("LLMI_STREAM_NO_LOGITS", "0") == "1",
+        ldepth=int(os.environ.get("LLMI_STREAM_LDEPTH", "2")),
+        defer_wb=os.environ.get("LLMI_STREAM_DEFER_WB", "0") == "1",
+        eager=os.environ.get("LLMI_STREAM_EAGER", "1") == "1",
         interpret=interpret,
     )
     return (logits[0], kc.reshape(cache.k.shape), vc.reshape(cache.v.shape))

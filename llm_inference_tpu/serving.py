@@ -37,7 +37,14 @@ from .engine import prefill_bucket
 from .gguf.reader import GGUFFile
 from .models.gemma import forward, forward_batched_decode, init_cache
 from .models.weights import fuse_projections, load_weights
-from .ops.pallas.flash_decode import DEFAULT_BLOCK as PAGE
+from .ops.pallas.flash_decode import DEFAULT_BLOCK
+
+# KV page size in tokens (LLMI_PAGE). The paged flash kernel's key block
+# == the page, so bigger pages mean fewer grid steps and fewer DMA
+# descriptors per deep-context step (the 8k-deep config walks
+# B * len/PAGE blocks per layer) at the cost of coarser pool allocation
+# (mean waste PAGE/2 tokens per lane).
+PAGE = int(os.environ.get("LLMI_PAGE", str(DEFAULT_BLOCK)))
 from .tokenizer import Tokenizer
 
 
@@ -398,13 +405,14 @@ class BatchedServer:
             self._table = np.full((max_batch, nb), kv_pages, dtype=np.int32)
             self._free_pages: list[int] = list(range(kv_pages))
 
-            def _chunk_paged(w, pools, table, tokens, pos):
+            def _chunk_paged(w, pools, table, tokens, pos, *, nb_cap=None):
                 slots_b = jnp.arange(tokens.shape[0], dtype=jnp.int32)
 
                 def body(carry, _):
                     c, toks, p = carry
                     logits, c = forward_batched_decode_paged(
-                        hp, w, c, table, toks, p, ring_layers=ring_layers)
+                        hp, w, c, table, toks, p, ring_layers=ring_layers,
+                        nb_cap=nb_cap)
                     nxt = pick_batch(logits, slots_b, p)
                     return (c, nxt, p + 1), nxt
 
@@ -518,7 +526,8 @@ class BatchedServer:
 
                 return toks_out, _KV(k=tuple(nk), v=tuple(nv))
 
-            self._chunk_paged = jax.jit(_chunk_paged, donate_argnums=(1,))
+            self._chunk_paged = jax.jit(_chunk_paged, donate_argnums=(1,),
+                                        static_argnames=("nb_cap",))
             self._prefill_paged = jax.jit(_prefill_paged, donate_argnums=(1,))
             self._prefill_paged_group = jax.jit(
                 _prefill_paged_group, donate_argnums=(1,))
@@ -775,9 +784,18 @@ class BatchedServer:
                 jnp.asarray(tokens), jnp.asarray(pos)
             )
         elif self._paged:
+            # bound the flash grid by the deepest lane's blocks at chunk
+            # end, bucketed to a power of two (one retrace per bucket):
+            # the paged flash grid otherwise walks max_seq/PAGE key blocks
+            # per lane per layer, and the elided blocks' grid-iteration
+            # overhead dominated the step (round-4 roofline "other")
+            deepest = max(req.pos for req in self._active.values())
+            blocks = -(-(deepest + self.decode_chunk + 1) // self.page)
+            cap = min(self.max_seq // self.page,
+                      1 << max(0, blocks - 1).bit_length())
             toks, self._caches = self._chunk_paged(
                 self.weights, self._caches, jnp.asarray(self._table),
-                jnp.asarray(tokens), jnp.asarray(pos)
+                jnp.asarray(tokens), jnp.asarray(pos), nb_cap=cap
             )
         elif self._mega_batch:
             toks, self._caches = self._chunk_mega(

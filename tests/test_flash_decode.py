@@ -169,3 +169,53 @@ def test_paged_flash_decode_dsplit_swa_starts(rng):
         jnp.asarray(table), jnp.asarray(lengths), jnp.asarray(starts),
         interpret=True, dsplit=True))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_paged_flash_decode_nb_cap_matches_uncapped(rng):
+    """A grid cap covering the deepest lane's live blocks is exact: the
+    capped grid must produce bit-identical output to the full-table grid
+    (the cap only removes blocks the index-map clamp already elided)."""
+    from llm_inference_tpu.ops.pallas.flash_decode import paged_flash_decode
+
+    B, S, Dk, page, hkv, group = 3, 1024, 128, 128, 2, 2
+    H = hkv * group
+    nb = S // page
+    q = rng.standard_normal((B, H, Dk)).astype(np.float32)
+    lengths = np.array([1, 130, 300], dtype=np.int32)  # deepest: 3 blocks
+    n_pages = B * nb + 2
+    table = rng.permutation(n_pages)[: B * nb].reshape(B, nb).astype(np.int32)
+    k_pool = rng.standard_normal((n_pages, page, hkv, Dk)).astype(np.float16)
+    v_pool = rng.standard_normal((n_pages, page, hkv, Dk)).astype(np.float16)
+
+    args = (jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+            jnp.asarray(table), jnp.asarray(lengths))
+    want = np.asarray(paged_flash_decode(*args, interpret=True))
+    for cap in (3, 4, nb + 7):  # exact bound, bucketed, over-shoot clamps
+        got = np.asarray(paged_flash_decode(*args, interpret=True, nb_cap=cap))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_serving_paged_nb_cap_end_to_end(tmp_path, rng):
+    """BatchedServer's bucketed nb_cap (step()) produces the same tokens
+    as an uncapped run at a depth that exercises several buckets."""
+    import sys
+    sys.path.insert(0, "tests")
+    from fixtures import build_gemma3_gguf
+    from llm_inference_tpu.serving import BatchedServer
+
+    path = tmp_path / "m.gguf"
+    path.write_bytes(bytes(build_gemma3_gguf(n_layers=2, seed=5)))
+    outs = []
+    for cap_off in (False, True):
+        server = BatchedServer(str(path), max_seq=1024, max_batch=2,
+                               mode="serve-q8", decode_chunk=4, kv_pages=10)
+        server.tokenizer.eos_id = -1
+        server.tokenizer.end_of_turn_id = -1
+        if cap_off:
+            # force the full grid: monkeypatch the bucket to max blocks
+            orig = server._chunk_paged
+            server._chunk_paged = (
+                lambda w, c, t, tok, p, nb_cap=None:
+                orig(w, c, t, tok, p, nb_cap=1024 // server.page))
+        outs.append(server.run([([2, 7, 8], 12), ([2, 12, 9, 4], 9)]))
+    assert outs[0] == outs[1]

@@ -280,3 +280,36 @@ def test_capacity_engine_end_to_end(stream_env, monkeypatch, tmp_path):
     eng2 = Engine(str(path), max_seq=64, mode="serve-q4", decode_chunk=4)
     assert eng2._capacity
     assert eng2.generate_from_ids(prompt, n_predict=8) == want
+
+
+def test_stream_kernel_pipeline_knobs(stream_env, monkeypatch):
+    """LLMI_STREAM_LDEPTH=3 + LLMI_STREAM_DEFER_WB=1 (the deeper logits
+    stream and the non-blocking KV writeback) must match the default
+    double-buffer/blocking kernel token-for-token and cache-for-cache."""
+    monkeypatch.setattr(
+        __import__("llm_inference_tpu.ops.pallas.fused_decode_q",
+                   fromlist=["x"]), "_BUFFER_BUDGET", 0)
+    buf = _buf(GGMLType.Q4_0)
+    hp, _ = load_weights(GGUFFile(buf), mode="packed-serve")
+    _, ws = load_maskdot_stacked(GGUFFile(buf), q4=True)
+
+    def run_once():
+        cache = init_cache(hp, 64, stacked=True, dtype=jnp.bfloat16)
+        fwd = jax.jit(partial(forward, hp, exact=False, mm_impl="auto"))
+        toks = jnp.asarray([2, 7, 8], dtype=jnp.int32)
+        _, cache = fwd(ws, cache, toks, 0)
+        outs = []
+        pos = 3
+        for step in range(2):
+            d, cache = fwd(ws, cache, jnp.asarray([9 + step], jnp.int32), pos)
+            outs.append(np.asarray(d))
+            pos += 1
+        return outs, np.asarray(cache.k, dtype=np.float32)[:, :pos]
+
+    want, kref = run_once()
+    monkeypatch.setenv("LLMI_STREAM_LDEPTH", "3")
+    monkeypatch.setenv("LLMI_STREAM_DEFER_WB", "1")
+    got, kgot = run_once()
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(kgot, kref)

@@ -61,4 +61,7 @@ run q4_k-4b-serve-q4 2400 LLMI_BENCH_MODE=serve-q4 LLMI_BENCH_FMT=q4_k LLMI_BENC
 run batch8-paged-8k-deep 2400 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_BATCH=8 LLMI_BENCH_PAGED=264 LLMI_BENCH_MAX_SEQ=8192 LLMI_BENCH_PREFILL=7900 -- python bench.py
 # the capacity flagship: 12B streamed megakernel (tools/capacity_demo.py)
 run capacity-12b    3000 LLMI_CAP_JSON=1 -- python tools/capacity_demo.py 12b --generate 128
+# gemma4-class geometry (per-layer inputs + shared KV): the r5 megakernel
+# fast path (VERDICT r4 weak #6 — previously correctness-only, never benched)
+run gemma4-serve-q8 1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_GEOM=g4 -- python bench.py
 echo "sweep done -> $OUT"
