@@ -233,7 +233,11 @@ def bench_batched(mode: str, batch: int) -> None:
             for _ in range(batch)
         ]
 
-    server.run(reqs(8))  # warmup/compile
+    # warmup/compile. Paged runs warm the FULL depth: the nb_cap flash
+    # grid retraces once per power-of-2 block bucket, and an 8-token
+    # warmup leaves the deeper buckets' compiles inside the timed loop
+    # (measured: 793 vs 5295 tok/s on batch32-paged-4k from exactly this)
+    server.run(reqs(DECODE_STEPS if kv_pages else 8))
     t0 = time.time()
     handles = [server.submit(ids, n) for ids, n in reqs(DECODE_STEPS)]
     while server.step():

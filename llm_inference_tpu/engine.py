@@ -171,7 +171,17 @@ class Engine:
                 res = None
                 if stream_supported_from_directory(
                         gguf, hp_probe, q4=q4, max_seq=max_seq):
-                    res = load_maskdot_stacked(gguf, q4=q4)
+                    # RAW-f16 scales (exact — the checkpoint stores d as
+                    # f16) would halve the capacity stream's scale bytes
+                    # (~0.67 GB/step on the 12B), and the full path is
+                    # built + bit-exactness-tested — but THIS toolchain's
+                    # Mosaic rejects f16 in kernels ("Unsupported type in
+                    # mosaic dialect: 'f16'", measured Aug 20), so it is
+                    # opt-in until the compiler supports it.
+                    res = load_maskdot_stacked(
+                        gguf, q4=q4,
+                        scale_f16=os.environ.get(
+                            "LLMI_CAP_SCALE_F16", "0") == "1")
                 if res is not None:
                     from .ops.pallas.fused_decode_stream import (
                         megakernel_stream_supported,

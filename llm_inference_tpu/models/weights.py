@@ -470,7 +470,7 @@ def fuse_projections(model: ModelWeights) -> ModelWeights:
 
 def load_maskdot_stacked(
     gguf: GGUFFile, hparams: HParams | None = None, *, q4: bool = True,
-    mesh=None, axis: str = "model",
+    mesh=None, axis: str = "model", scale_f16: bool = False,
 ) -> Optional[tuple[HParams, ModelWeights]]:
     """Capacity-class load: build the STACKED masked-dot transposed layout
     (TQuantTensor / TQ4Tensor) host-side, straight from GGUF bytes.
@@ -564,7 +564,7 @@ def load_maskdot_stacked(
                     return None
                 parts.append(maskdot_host_parts(
                     gguf.tensor_bytes(info), info.tensor_type,
-                    info.n_rows, info.n_cols, q4=q4,
+                    info.n_rows, info.n_cols, q4=q4, scale_f16=scale_f16,
                 ))
             if any(p is None for p in parts):
                 return None
@@ -634,7 +634,7 @@ def load_maskdot_stacked(
                     L_ = hp.block_count
                     alloc = jnp.zeros if stream else np.empty
                     slot["q"] = alloc((L_,) + q.shape, dtype=q.dtype)
-                    slot["s"] = alloc((L_,) + s.shape, dtype=np.float32)
+                    slot["s"] = alloc((L_,) + s.shape, dtype=s.dtype)
                     if o is not None:
                         slot["o"] = alloc((L_,) + o.shape, dtype=np.float32)
             if stream:

@@ -67,7 +67,8 @@ _MAX_DOTS = 640  # unrolled MXU dot cap (trace/compile-time guard)
 
 
 def _part_meta(p):
-    """(packed, Cstore, C, R, gs, bg, bc, nblk, mp, has_off, centered)."""
+    """(packed, Cstore, C, R, gs, bg, bc, nblk, mp, has_off, centered,
+    raw16)."""
     packed = isinstance(p, TQ4Tensor)
     qa = p.packedT if packed else p.qT
     return dict(
@@ -83,12 +84,15 @@ def _part_meta(p):
         gp=p.n_blocks * p.mp,
         has_off=p.offT is not None,
         centered=bool(getattr(p, "centered", False)),
+        # RAW-f16 scales (TQ4Tensor docstring): unfolded per-group d at
+        # 2 B/scale; the kernel applies the sign-hi /16 itself
+        raw16=bool(p.sT.dtype == jnp.float16),
     )
 
 
 def _slot_bytes(m, tr):
     b = m["c_store"] * tr  # int8 quants (packed nibbles count as stored rows)
-    b += m["gp"] * tr * 4  # f32 scales
+    b += m["gp"] * tr * (2 if m.get("raw16") else 4)  # scales
     if m["has_off"]:
         b += m["gp"] * tr * 4
     return b
@@ -302,6 +306,12 @@ def _tile_dot(qb, sb, ob, slot, xm_full, m, t):
         sub1 = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
         lom8 = 8.0 * jnp.maximum(
             0, jnp.minimum(1, m["bg"] // 2 - sub1)).astype(jnp.float32)
+    if m.get("raw16"):
+        # RAW-f16 scales: the sign-hi /16 fold is applied HERE, in f32
+        # (an exact exponent shift), on the high-group rows
+        subh = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+        hi16 = jnp.where(subh >= m["bg"] // 2, jnp.float32(1.0 / 16.0),
+                         jnp.float32(1.0))
     # accumulate [Mp, TR] ELEMENTWISE per block and sublane-reduce ONCE
     # per tile: the per-block jnp.sum(axis=0) this replaces is a
     # cross-sublane reduction — the VPU's slow shuffle path — repeated
@@ -310,6 +320,8 @@ def _tile_dot(qb, sb, ob, slot, xm_full, m, t):
     for b in range(nblk):
         xm = xm_full[:, b * BC : (b + 1) * BC]
         sblk = sb[slot, b * Mp : (b + 1) * Mp, :]
+        if m.get("raw16"):
+            sblk = sblk.astype(jnp.float32) * hi16
         if m["packed"]:
             # sign-hi nibble unpack: two int8 ANDs + two mixed half-dots
             # (quant/device.py TQ4Tensor; scales/offsets pre-folded)
@@ -430,11 +442,55 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                 for c in tile_copies(i, l, 1, 1):
                     c.start()
 
-        def kv_copies(l, slot):
+        # prefix-bounded, window-aware cache DMA: chunks of S/NKV rows,
+        # copying only [lo, hi) where hi covers the causal frontier (and
+        # the 16-row insert window) and lo skips rows a sliding window
+        # can never attend. The full-slab copy this replaces moved
+        # 16.8 MB/layer at ANY fill (~1 ms/step of dead bytes at shallow
+        # fills on the 12B). Rows outside [lo, hi) keep the buffer's
+        # previous (finite) contents — the prologue zero-fill guarantees
+        # no uninitialized-NaN bit pattern ever reaches the PV dot, and
+        # the score mask zeroes their probability exactly.
+        NKV = 4 if S % 64 == 0 else 1
+        CH = S // NKV
+
+        def kv_bounds(l):
+            hi = jnp.clip((p + 16 + CH - 1) // CH, 1, NKV)
+            wl = win_r[l]
+            lo = jnp.where(
+                wl > 0,
+                jnp.minimum(jnp.maximum(p + 1 - wl, 0) // CH, hi - 1), 0)
+            return lo, hi
+
+        def kv_chunk_copies(l, slot, j):
             return [
-                pltpu.make_async_copy(kc.at[l], kb.at[slot], kvsem.at[slot, 0]),
-                pltpu.make_async_copy(vc.at[l], vb.at[slot], kvsem.at[slot, 1]),
+                pltpu.make_async_copy(kc.at[l, pl.ds(j * CH, CH)],
+                                      kb.at[slot, pl.ds(j * CH, CH)],
+                                      kvsem.at[slot, 0]),
+                pltpu.make_async_copy(vc.at[l, pl.ds(j * CH, CH)],
+                                      vb.at[slot, pl.ds(j * CH, CH)],
+                                      kvsem.at[slot, 1]),
             ]
+
+        def kv_start(l, slot):
+            lo, hi = kv_bounds(l)
+
+            def go(j, c_):
+                for cp in kv_chunk_copies(l, slot, j):
+                    cp.start()
+                return c_
+
+            jax.lax.fori_loop(lo, hi, go, 0)
+
+        def kv_wait(l, slot):
+            lo, hi = kv_bounds(l)
+
+            def go(j, c_):
+                for cp in kv_chunk_copies(l, slot, j):
+                    cp.wait()
+                return c_
+
+            jax.lax.fori_loop(lo, hi, go, 0)
 
         def run_part(i, l, x_bf, *, tail):
             """Stream part i's tiles for layer l; returns [1, R] f32.
@@ -459,8 +515,12 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
         e0 = pltpu.make_async_copy(emb_r.at[pl.ds(tok0, 16)], emb_b, esem.at[0])
         e0.start()
         start_head(0, 0)
-        for c in kv_copies(0, 0):
-            c.start()
+        # zero-fill BOTH cache buffer slots once per step (finite bits in
+        # the un-DMA'd region — see kv_bounds), then start layer 0's
+        # bounded chunks
+        kb[...] = jnp.zeros((2, S, Hkv * dk), dtype=kb.dtype)
+        vb[...] = jnp.zeros((2, S, Hkv * dv), dtype=vb.dtype)
+        kv_start(0, 0)
 
         # part masks: group-local 0/1 pattern, periodic in BC; constant
         # across layers (built once, under the prologue DMA shadow).
@@ -505,8 +565,7 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
             qb = q.astype(jnp.bfloat16)
 
             # wait the layer's cache, insert the new K/V row, write it back
-            for c in kv_copies(l, slot_kv):
-                c.wait()
+            kv_wait(l, slot_kv)
             p0 = pl.multiple_of((p // 16) * 16, 16)
             rsel = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) == p - p0
             kwin = kb[slot_kv, pl.ds(p0, 16), :]
@@ -609,12 +668,11 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                                 wbsem.at[1]).wait()
 
                     if not eager:
-                        # old schedule: the 16.8 MB/layer cache DMA
-                        # enqueues BEFORE down tiles >= 2, delaying them
+                        # old schedule: the cache DMA enqueues BEFORE
+                        # down tiles >= 2, delaying them
                         @pl.when(l + 1 < L)
                         def _():
-                            for c_ in kv_copies(l + 1, 1 - slot_kv):
-                                c_.start()
+                            kv_start(l + 1, 1 - slot_kv)
                 if t == head_trigger(3):
                     @pl.when(l + 1 < L)
                     def _():
@@ -626,8 +684,7 @@ def _make_kernel(*, L, H, Hkv, dk, dv, D, F, Rq, Adim, V, S, TN,
                     # attention
                     @pl.when(l + 1 < L)
                     def _():
-                        for c_ in kv_copies(l + 1, 1 - slot_kv):
-                            c_.start()
+                        kv_start(l + 1, 1 - slot_kv)
 
             y3 = run_part(3, l, a.astype(jnp.bfloat16), tail=down_tail)
             if has_pf:
@@ -759,7 +816,9 @@ def _run_step(
             in_specs.append(anym)
             args.append(x)
         scratch.append(pltpu.VMEM((2, m["c_store"], m["TR"]), jnp.int8))
-        scratch.append(pltpu.VMEM((2, m["gp"], m["TR"]), jnp.float32))
+        scratch.append(pltpu.VMEM(
+            (2, m["gp"], m["TR"]),
+            jnp.float16 if m.get("raw16") else jnp.float32))
         if m["has_off"]:
             scratch.append(pltpu.VMEM((2, m["gp"], m["TR"]), jnp.float32))
         scratch.append(pltpu.VMEM((1, m["R"]), jnp.float32))  # output

@@ -517,7 +517,16 @@ class TQ4Tensor:
     ``s`` and ``off``; rows m >= bg/2 (high-nibble groups) hold ``s/16``
     and ``off - 8*s``. ``centered`` (Q4_0, offT None): the kernel applies
     the low groups' implicit ``off = 8*s`` via a sublane mask; the high
-    groups need no term (8s - 8s = 0)."""
+    groups need no term (8s - 8s = 0).
+
+    RAW-f16 scales (``sT.dtype == float16``, centered/offset-free
+    formats only): sT holds the UNfolded per-group ``d`` exactly as the
+    GGUF block stores it — f16 in, f16 kept, zero rounding — at HALF the
+    HBM bytes of the folded f32 form (scales are ~20% of a Q4_0 stream).
+    Consumers apply the sign-hi /16 on the high-group rows themselves in
+    f32 (an exact exponent shift): the streamed capacity megakernel does
+    (fused_decode_stream._tile_dot), and _true_scale_off below skips the
+    unfold."""
 
     packedT: Array  # int8 [..., cols//2, rows]
     sT: Array  # f32 [..., n_blocks*mp, rows] (TQuantTensor layout)
@@ -567,16 +576,20 @@ class TQ4Tensor:
             tb = t.reshape(lead + (self.n_blocks, self.mp, self.rows))
             return tb[..., : self.bg, :]
 
+        def rg(tb):
+            s = tb.reshape(lead + (self.groups, self.rows))
+            return jnp.swapaxes(s, -1, -2)
+
+        if self.sT.dtype == jnp.float16:  # RAW-f16: nothing folded
+            assert self.offT is None
+            return rg(blocks(self.sT).astype(jnp.float32)), None
+
         sb = blocks(self.sT)
         s_true = sb.at[..., hg :, :].multiply(16.0)
         ob = None
         if self.offT is not None:
             ob = blocks(self.offT)
             ob = ob.at[..., hg :, :].add(8.0 * s_true[..., hg :, :])
-
-        def rg(tb):
-            s = tb.reshape(lead + (self.groups, self.rows))
-            return jnp.swapaxes(s, -1, -2)
 
         return rg(s_true), None if ob is None else rg(ob)
 
@@ -745,7 +758,8 @@ def pack_q4(qt: QuantTensor) -> Optional[Q4Tensor]:
 
 
 def maskdot_host_parts(
-    raw: np.ndarray, fmt: GGMLType, rows: int, cols: int, *, q4: bool = True
+    raw: np.ndarray, fmt: GGMLType, rows: int, cols: int, *, q4: bool = True,
+    scale_f16: bool = False,
 ) -> Optional[dict]:
     """Build the masked-dot transposed layout (TQuantTensor / TQ4Tensor
     arrays) straight from raw GGUF block bytes ON THE HOST.
@@ -809,7 +823,16 @@ def maskdot_host_parts(
         out["packedT"] = packed.view(np.int8).reshape(cols // 2, rows)
         out["qT"] = None
         out["centered"] = centered
-        out["sT"], offT_f = _fold_scales_signhi(
-            out["sT"], out["offT"], nblk=nblk, bg=bg, mp=mp, xp=np)
-        out["offT"] = offT_f
+        if scale_f16 and centered and out["offT"] is None:
+            # RAW-f16 scales (TQ4Tensor docstring): keep the per-group d
+            # EXACTLY as the checkpoint stores it — it was f16 in the
+            # GGUF block, so f32 -> f16 here round-trips bit-exactly —
+            # and let the kernel apply the sign-hi /16 in f32. Halves the
+            # scale stream (~0.67 GB/step on the 12B). Offset formats
+            # (Q4_K) keep folded f32: d*sc products exceed f16 mantissa.
+            out["sT"] = out["sT"].astype(np.float16)
+        else:
+            out["sT"], offT_f = _fold_scales_signhi(
+                out["sT"], out["offT"], nblk=nblk, bg=bg, mp=mp, xp=np)
+            out["offT"] = offT_f
     return out

@@ -126,7 +126,17 @@ class BatchedServer:
         def pick_batch(logits, slots, positions):
             # [B, vocab] -> [B] token ids
             if cfg.is_greedy:
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                # max-reduce + min-index instead of jnp.argmax: the
+                # variadic (value, index) reduce argmax lowers to ran
+                # 447 us/step over [32, 262144] in the paged roofline;
+                # two plain reduces (f32 max, int32 min) vectorize fully.
+                # Ties resolve to the LOWEST id, same as argmax's
+                # first-occurrence rule (and the megakernel tail).
+                B, V = logits.shape
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                ii = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+                return jnp.min(jnp.where(logits == m, ii, V),
+                               axis=-1).astype(jnp.int32)
             return jax.vmap(lambda lg, s, p: pick_one(lg, s, p))(
                 logits, slots, positions)
         load_modes = {
@@ -793,6 +803,8 @@ class BatchedServer:
             blocks = -(-(deepest + self.decode_chunk + 1) // self.page)
             cap = min(self.max_seq // self.page,
                       1 << max(0, blocks - 1).bit_length())
+            if os.environ.get("LLMI_PAGED_NBCAP", "1") == "0":
+                cap = None  # A/B: full-table grid
             toks, self._caches = self._chunk_paged(
                 self.weights, self._caches, jnp.asarray(self._table),
                 jnp.asarray(tokens), jnp.asarray(pos), nb_cap=cap

@@ -313,3 +313,39 @@ def test_stream_kernel_pipeline_knobs(stream_env, monkeypatch):
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(kgot, kref)
+
+
+def test_stream_kernel_raw_f16_scales_bit_exact(stream_env, monkeypatch):
+    """scale_f16=True (RAW per-group d kept as checkpoint f16; /16 fold
+    applied in-kernel in f32) must be BIT-identical to the folded-f32
+    load through both dequant and the streamed kernel: f16 -> f32 is
+    exact and x/16 in f32 is an exponent shift."""
+    monkeypatch.setattr(
+        __import__("llm_inference_tpu.ops.pallas.fused_decode_q",
+                   fromlist=["x"]), "_BUFFER_BUDGET", 0)
+    buf = _buf(GGMLType.Q4_0)
+    hp, _ = load_weights(GGUFFile(buf), mode="packed-serve")
+    _, w32 = load_maskdot_stacked(GGUFFile(buf), q4=True, scale_f16=False)
+    _, w16 = load_maskdot_stacked(GGUFFile(buf), q4=True, scale_f16=True)
+    assert w16.layers.wqkv.sT.dtype == jnp.float16
+    assert w32.layers.wqkv.sT.dtype == jnp.float32
+
+    np.testing.assert_array_equal(
+        np.asarray(w16.layers.w_down.dequant(jnp.float32)),
+        np.asarray(w32.layers.w_down.dequant(jnp.float32)))
+
+    def run_once(ws):
+        cache = init_cache(hp, 64, stacked=True, dtype=jnp.bfloat16)
+        fwd = jax.jit(partial(forward, hp, exact=False, mm_impl="auto"))
+        toks = jnp.asarray([2, 7, 8], dtype=jnp.int32)
+        _, cache = fwd(ws, cache, toks, 0)
+        outs = []
+        pos = 3
+        for step in range(2):
+            d, cache = fwd(ws, cache, jnp.asarray([9 + step], jnp.int32), pos)
+            outs.append(np.asarray(d))
+            pos += 1
+        return outs
+
+    for a, b in zip(run_once(w16), run_once(w32)):
+        np.testing.assert_array_equal(a, b)

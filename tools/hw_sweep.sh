@@ -64,4 +64,5 @@ run capacity-12b    3000 LLMI_CAP_JSON=1 -- python tools/capacity_demo.py 12b --
 # gemma4-class geometry (per-layer inputs + shared KV): the r5 megakernel
 # fast path (VERDICT r4 weak #6 — previously correctness-only, never benched)
 run gemma4-serve-q8 1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_GEOM=g4 -- python bench.py
+run gemma4-serve-q8-perop 1200 LLMI_BENCH_MODE=serve-q8 LLMI_BENCH_GEOM=g4 LLMI_NO_FUSED_DECODE=1 -- python bench.py
 echo "sweep done -> $OUT"

@@ -48,8 +48,10 @@ def _kernel(salt_ref, src_ref, s_src_ref, o_ref, buf, sbuf, acc, sem, ssem,
     def copy(l, slot):
         return (pltpu.make_async_copy(src_ref.at[l], buf.at[slot],
                                       sem.at[slot]),
-                pltpu.make_async_copy(s_src_ref.at[l], sbuf.at[slot],
-                                      ssem.at[slot]))
+                pltpu.make_async_copy(
+                    s_src_ref.at[l] if s_src_ref.shape[2] == TR
+                    else s_src_ref.at[l, :, pl.ds(3 * TR, TR)],
+                    sbuf.at[slot], ssem.at[slot]))
 
     acc[...] = jnp.full_like(acc, salt_ref[0])
 
@@ -147,19 +149,28 @@ def main():
     sys.path.insert(0, os.path.dirname(__file__))
     from roofline import parse_trace
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="dma,maskdot,prefconv,int8a")
+    ap.add_argument("--strided-scales", action="store_true")
+    nsargs = ap.parse_args()
+    modes = nsargs.modes.split(",")
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(-127, 127, size=(L, C_STORE, TR),
                                    dtype=np.int8))
-    s_src = jnp.asarray(rng.standard_normal((L, GP, TR)).astype(np.float32))
-    nbytes = (src.nbytes + s_src.nbytes) * REPS
+    if nsargs.strided_scales:
+        # real layout: sT[L, gp, R] sliced [*, off:off+TR] per tile —
+        # model a 10-tile row length so the slice is strided like the 12B
+        s_src = jnp.asarray(
+            rng.standard_normal((L, GP, 10 * TR)).astype(np.float32))
+    else:
+        s_src = jnp.asarray(
+            rng.standard_normal((L, GP, TR)).astype(np.float32))
+    nbytes = (src.nbytes + src.nbytes // 3) * REPS  # quants + one TR scale slice per tile
     print("backend:", jax.default_backend(),
           f"| {nbytes/1e6:.0f} MB per dispatch "
           f"({src.nbytes // (1024*1024)}+{s_src.nbytes // (1024*1024)} MiB "
           f"quants+scales x{REPS})", flush=True)
-    import argparse
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--modes", default="dma,maskdot,prefconv,int8a")
-    modes = ap.parse_args().modes.split(",")
     for mode in modes:
         out = run(jnp.asarray([0.0], jnp.float32), src, s_src, mode=mode)
         out.block_until_ready()

@@ -67,13 +67,17 @@ def prefill_roofline(eng, buckets=(32, 64, 128, 256, 512), reps=8):
     import numpy as np
 
     def one_prefill(prompt, T):
+        # the engine's own path prefills with _prefill_w (the bf16
+        # operand cache for maskdot modes) — measure THAT, not the
+        # in-graph dequant path the engine no longer uses
+        pw = getattr(eng, "_prefill_w", eng.weights)
         if getattr(eng, "_prefill_fresh", None) is not None:
             tok, _, cache = eng._prefill_fresh(
-                eng.weights, jnp.asarray(prompt), jnp.int32(T), eng._base_key)
+                pw, jnp.asarray(prompt), jnp.int32(T), eng._base_key)
         else:
             cache = eng.new_cache()
             tok, _, cache = eng._prefill(
-                eng.weights, cache, jnp.asarray(prompt), jnp.int32(0),
+                pw, cache, jnp.asarray(prompt), jnp.int32(0),
                 jnp.int32(T), eng._base_key)
         return tok
 
@@ -145,6 +149,12 @@ def bucket(name: str) -> str:
         return "decode megakernel (whole step)"
     if n.startswith("_run"):
         return "pallas fused dequant-matmul"
+    if "flash_decode" in n:
+        return "flash attention (pallas)"
+    if "insert_rows" in n:
+        return "KV row insert (pallas)"
+    if "slice-start" in n or "slice-done" in n:
+        return "gather/slice"
     if n.startswith("custom-call") or "mosaic" in n:
         return "pallas kernel (custom-call)"
     if "multiply_reduce" in n:
@@ -250,6 +260,20 @@ def capture_batched(mode: str, max_seq: int, batch: int, chunks: int = 2,
             for _ in range(batch)]
     server.step()  # admit + compile prefill/chunk
     server.step()  # settle
+    if kv_pages:
+        # settle past nb_cap bucket flips: a paged chunk recompiles when
+        # the deepest lane crosses a power-of-2 block bucket — a flip
+        # INSIDE the traced window poisons the wall numbers with a
+        # multi-second compile
+        def cap(p):
+            blocks = -(-(p + server.decode_chunk + 1) // server.page)
+            return 1 << max(0, blocks - 1).bit_length()
+
+        while True:
+            deepest = max(r.pos for r in reqs)
+            if cap(deepest) == cap(deepest + chunks * decode_chunk):
+                break
+            server.step()
     pos_lo = min(r.pos for r in reqs)
 
     trace_dir = "/tmp/llmi_roofline_trace_batch"
@@ -317,18 +341,31 @@ def batched_main(args):
     kv_full = sum(
         x.nbytes for x in jax.tree_util.tree_leaves(server._caches)
         if hasattr(x, "nbytes"))
-    # prefix-bounded cache DMA (fused_decode_batch.py): 4 chunks of S/4
-    # rows, ceil((pos+16)/chunk) copied per layer per step
-    nkv = 4 if S % 64 == 0 else 1
-    kvc = S // nkv
     fill = np.arange(pos_lo, pos_hi)
-    rows = np.clip((fill + 16 + kvc - 1) // kvc, 1, nkv) * kvc
-    frac = float(rows.mean()) / S if server._mega_batch else 1.0
-    cache_bytes = kv_full * frac
+    if args.paged:
+        # paged flash DMA: per lane the index-map clamps to the live
+        # block range — ceil(len/PAGE) pages of K+V per layer
+        p1 = server._caches.k[0].shape[0]
+        per_tok_all_layers = kv_full / (p1 * server.page)
+        rows = np.ceil((fill + 1) / server.page) * server.page
+        cache_bytes = float(rows.mean()) * B * per_tok_all_layers
+        frac = cache_bytes / kv_full
+    else:
+        # prefix-bounded cache DMA (fused_decode_batch.py): 4 chunks of
+        # S/4 rows, ceil((pos+16)/chunk) copied per layer per step
+        nkv = 4 if S % 64 == 0 else 1
+        kvc = S // nkv
+        rows = np.clip((fill + 16 + kvc - 1) // kvc, 1, nkv) * kvc
+        frac = float(rows.mean()) / S if server._mega_batch else 1.0
+        cache_bytes = kv_full * frac
 
     sol_ms = (wtotal + cache_bytes) / (HBM_GBPS * 1e9) * 1e3
     step_ms = total_us / steps / 1e3
     wall_ms = wall / steps * 1e3
+    if total_us == 0:
+        raise RuntimeError(
+            f"trace under {trace_dir} holds no device events "
+            f"(wall {wall_ms:.1f} ms/step) — profiler dropped the capture?")
 
     lines = []
     lines.append(f"\n# Roofline — mode={args.mode} BATCHED B={B}, "
